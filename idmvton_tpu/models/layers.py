@@ -1,0 +1,158 @@
+"""Functional NN primitives: explicit param pytrees + pure apply functions.
+
+Layout conventions (TPU-native, not the reference's NCHW):
+- images / feature maps: NHWC
+- conv kernels: (kh, kw, in_ch, out_ch)  [HWIO]
+- linear kernels: (in, out)
+
+Norms and softmax always compute in fp32; matmuls run in the policy compute
+dtype (bf16) with fp32 accumulation requested via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+
+def _fan_in_normal(key, shape, fan_in, dtype):
+    std = 1.0 / math.sqrt(max(fan_in, 1))
+    return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+
+def init_linear(key, in_dim: int, out_dim: int, *, bias: bool = True,
+                dtype=jnp.bfloat16, zero_init: bool = False):
+    kkey, _ = jax.random.split(key)
+    kernel = (jnp.zeros((in_dim, out_dim), dtype) if zero_init
+              else _fan_in_normal(kkey, (in_dim, out_dim), in_dim, dtype))
+    p = {"kernel": kernel}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_conv(key, in_ch: int, out_ch: int, kernel_size: int = 3, *,
+              bias: bool = True, dtype=jnp.bfloat16, zero_init: bool = False):
+    kkey, _ = jax.random.split(key)
+    shape = (kernel_size, kernel_size, in_ch, out_ch)
+    fan_in = in_ch * kernel_size * kernel_size
+    kernel = (jnp.zeros(shape, dtype) if zero_init
+              else _fan_in_normal(kkey, shape, fan_in, dtype))
+    p = {"kernel": kernel}
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def init_norm(num_channels: int, dtype=jnp.float32):
+    # norm affine params are kept fp32 — they are tiny and precision-sensitive
+    return {"scale": jnp.ones((num_channels,), dtype),
+            "bias": jnp.zeros((num_channels,), dtype)}
+
+
+def init_embedding(key, vocab: int, dim: int, dtype=jnp.bfloat16, std=0.02):
+    return {"embedding": (jax.random.normal(key, (vocab, dim), jnp.float32) * std).astype(dtype)}
+
+
+# ---------------------------------------------------------------------------
+# apply functions
+# ---------------------------------------------------------------------------
+
+
+def linear(params, x, *, precision=None):
+    y = jnp.dot(x, params["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32, precision=precision)
+    y = y.astype(x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(params, x, *, stride: int = 1, padding="SAME"):
+    """NHWC conv. ``padding`` is "SAME", "VALID" or explicit pairs."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(params, x, *, num_groups: int, eps: float = 1e-5,
+               act: Optional[str] = None):
+    """GroupNorm over channel-last input of any spatial rank, fp32 statistics.
+
+    Optionally fuses a SiLU activation (XLA fuses this chain into one pass;
+    a Pallas fused kernel is available in ops/ for the hot path).
+    """
+    orig_dtype = x.dtype
+    b = x.shape[0]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(x.shape)
+    xf = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    if act == "silu":
+        xf = jax.nn.silu(xf)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(params, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def embedding_lookup(params, ids):
+    return params["embedding"][ids]
+
+
+def timestep_embedding(timesteps, dim: int, *, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True, downscale_freq_shift: float = 0.0):
+    """Sinusoidal timestep embedding, fp32 (diffusers Timesteps semantics:
+    flip_sin_to_cos=True for SDXL)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return emb
+
+
+def gelu(x, approximate: bool = False):
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "quick_gelu": quick_gelu,
+    "silu": jax.nn.silu,
+}

@@ -1,0 +1,9 @@
+"""TPU compute ops: XLA reference implementations + Pallas kernels.
+
+Every op has a pure-jnp reference implementation (used on CPU and as the
+numerical ground truth in tests) and, where it is on the hot path, a Pallas
+TPU kernel. ``set_default_impl`` flips the dispatch globally.
+"""
+
+from idmvton_tpu.ops.dispatch import set_default_impl, get_default_impl
+from idmvton_tpu.ops.attention import sdpa, concat_kv_attention, decoupled_ip_attention

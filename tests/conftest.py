@@ -1,0 +1,21 @@
+"""Test harness: run everything on CPU with 8 virtual devices so multi-chip
+sharding is exercised without TPU hardware (the JAX analog of the reference's
+degenerate world_size==1 testing, gradio_demo/detectron2/utils/comm.py:138).
+
+The environment pre-imports jax via sitecustomize with JAX_PLATFORMS=axon
+(real TPU tunnel), so the platform must be overridden through jax.config, not
+env vars. XLA_FLAGS still works because the CPU backend initializes lazily.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8

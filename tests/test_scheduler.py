@@ -1,0 +1,93 @@
+"""DDPM scheduler numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idmvton_tpu.core.config import SchedulerConfig
+from idmvton_tpu.diffusion.scheduler import DDPMScheduler, classifier_free_guidance
+
+
+def test_beta_tables():
+    s = DDPMScheduler(SchedulerConfig())
+    ac = np.asarray(s.alphas_cumprod)
+    assert ac.shape == (1000,)
+    assert np.all(np.diff(ac) < 0)
+    assert 0 < ac[-1] < ac[0] <= 1.0
+
+
+def test_zero_snr_rescale():
+    s = DDPMScheduler(SchedulerConfig(rescale_betas_zero_snr=True))
+    ac = np.asarray(s.alphas_cumprod)
+    assert abs(ac[-1]) < 1e-10  # terminal SNR == 0
+    s0 = DDPMScheduler(SchedulerConfig())
+    np.testing.assert_allclose(ac[0], np.asarray(s0.alphas_cumprod)[0], rtol=1e-5)
+
+
+def test_timestep_schedule_leading():
+    s = DDPMScheduler(SchedulerConfig())
+    ts = np.asarray(s.timesteps(30))
+    assert len(ts) == 30
+    assert ts[0] == 29 * (1000 // 30) + 1  # leading spacing + steps_offset
+    assert np.all(np.diff(ts) < 0)
+    assert ts[-1] == 0 + 1  # steps_offset=1
+    prev = np.asarray(s.prev_timesteps(s.timesteps(30), 30))
+    assert prev[-1] < 0  # final step has no successor
+
+
+def test_add_noise_roundtrip_epsilon():
+    """predict_x0(add_noise(x0)) == x0 for epsilon prediction."""
+    s = DDPMScheduler(SchedulerConfig())
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (2, 4, 4, 4), jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape, jnp.float32)
+    t = jnp.array([10, 500])
+    noisy = s.add_noise(x0, noise, t)
+    rec = jax.vmap(lambda n, e, tt: s.predict_x0(e, n, tt))(noisy, noise, t)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-3)
+
+
+def test_velocity_consistency():
+    """x0 recovered from v-prediction matches the x0 used to build it."""
+    s = DDPMScheduler(SchedulerConfig())
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4), jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape, jnp.float32)
+    t = jnp.array([100, 900])
+    noisy = s.add_noise(x0, noise, t)
+    v = s.get_velocity(x0, noise, t)
+    s_v = DDPMScheduler(SchedulerConfig(prediction_type="v_prediction"))
+    rec = jax.vmap(lambda n, vv, tt: s_v.predict_x0(vv, n, tt))(noisy, v, t)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-3)
+
+
+def test_full_denoise_converges():
+    """Stepping pure noise with a perfect epsilon oracle recovers x0."""
+    s = DDPMScheduler(SchedulerConfig())
+    x0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4), jnp.float32)
+    num_steps = 30
+    ts = s.timesteps(num_steps)
+    prev_ts = s.prev_timesteps(ts, num_steps)
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape, jnp.float32)
+    sample = s.add_noise(x0, eps, jnp.array([int(ts[0])]))
+
+    def body(sample, tp):
+        t, pt = tp
+        ac = s.alphas_cumprod[t]
+        # oracle epsilon for the current sample
+        eps_hat = (sample - jnp.sqrt(ac) * x0) / jnp.sqrt(1 - ac)
+        new, _ = s.step(eps_hat, t, pt, sample, jnp.zeros_like(sample))
+        return new, None
+
+    final, _ = jax.lax.scan(body, sample, (ts, prev_ts))
+    assert float(jnp.abs(final - x0).max()) < 0.05
+
+
+def test_cfg_rescale():
+    u = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 4))
+    g = classifier_free_guidance(u, c, 2.0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(u + 2.0 * (c - u)),
+                               atol=1e-6)
+    gr = classifier_free_guidance(u, c, 2.0, guidance_rescale=1.0)
+    np.testing.assert_allclose(
+        float(jnp.std(gr[0])), float(jnp.std(c[0])), rtol=1e-4)
