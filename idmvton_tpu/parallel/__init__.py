@@ -1,0 +1,3 @@
+from idmvton_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate_params, batch_sharding,
+)

@@ -1,0 +1,226 @@
+"""TryonPipeline: the full try-on generation loop as one jitted program.
+
+Mirrors StableDiffusionXLInpaintPipeline.__call__ semantics
+(reference: src/tryon_pipeline.py:1254-1885) re-designed for XLA:
+
+- the 30-step CFG denoise loop is a single ``lax.scan`` (the reference runs a
+  python loop with an ``xm.mark_step`` XLA seam per step,
+  tryon_pipeline.py:1765-1866,1865),
+- all RNG is explicit ``jax.random`` keys (the reference threads a stateful
+  torch.Generator),
+- text/image encoders, VAE encodes, resampler, denoise scan and fp32 VAE
+  decode compile into one program; CFG runs batched 2B through TryonNet while
+  GarmentNet runs the cond batch only with a zero uncond half
+  (tryon_pipeline.py:1787-1796).
+
+Conditioning layout (13-channel TryonNet input, train_xl.py:359-373):
+  [noisy latent 4 | inpaint mask 1 | masked-person latent 4 | DensePose latent 4]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from idmvton_tpu.core.config import (
+    UNetConfig, VAEConfig, CLIPTextConfig, CLIPVisionConfig, ResamplerConfig,
+    SchedulerConfig,
+)
+from idmvton_tpu.diffusion.scheduler import DDPMScheduler, classifier_free_guidance
+from idmvton_tpu.models.unet import init_unet, unet_apply
+from idmvton_tpu.models.vae import init_vae, vae_encode, vae_decode
+from idmvton_tpu.models.clip import (
+    init_clip_text, clip_text_apply, init_clip_vision, clip_vision_apply,
+)
+from idmvton_tpu.models.resampler import init_resampler, resampler_apply
+
+
+@dataclasses.dataclass
+class TryonModels:
+    """All model configs + param pytrees of the try-on stack.
+
+    Mirrors the 9 components inference.py:232-274 loads (two tokenizers are
+    host-side, see data/tokenizer.py).
+    """
+
+    unet_cfg: UNetConfig
+    unet: dict
+    garm_cfg: UNetConfig
+    garm: dict
+    vae_cfg: VAEConfig
+    vae: dict
+    clip_l_cfg: CLIPTextConfig
+    clip_l: dict
+    clip_g_cfg: CLIPTextConfig
+    clip_g: dict
+    vision_cfg: CLIPVisionConfig
+    vision: dict
+    resampler_cfg: ResamplerConfig
+    resampler: dict
+
+    @staticmethod
+    def init(key, *, tiny: bool = False, dtype=jnp.bfloat16) -> "TryonModels":
+        ks = jax.random.split(key, 7)
+        if tiny:
+            cfgs = (UNetConfig.tiny("consume"), UNetConfig.tiny("emit"),
+                    VAEConfig.tiny(), CLIPTextConfig.tiny(),
+                    CLIPTextConfig.tiny(hidden_size=32, projection_dim=64,
+                                        use_final_projection=True),
+                    CLIPVisionConfig.tiny(), ResamplerConfig.tiny())
+        else:
+            cfgs = (UNetConfig.sdxl_tryon(), UNetConfig.sdxl_garment(),
+                    VAEConfig.sdxl(), CLIPTextConfig.clip_l(),
+                    CLIPTextConfig.clip_bigg(), CLIPVisionConfig.vit_h(),
+                    ResamplerConfig.sdxl_plus())
+        u, g, v, tl, tg, vi, rs = cfgs
+        return TryonModels(
+            unet_cfg=u, unet=init_unet(ks[0], u, dtype=dtype),
+            garm_cfg=g, garm=init_unet(ks[1], g, dtype=dtype),
+            vae_cfg=v, vae=init_vae(ks[2], v, dtype=dtype),
+            clip_l_cfg=tl, clip_l=init_clip_text(ks[3], tl, dtype=dtype),
+            clip_g_cfg=tg, clip_g=init_clip_text(ks[4], tg, dtype=dtype),
+            vision_cfg=vi, vision=init_clip_vision(ks[5], vi, dtype=dtype),
+            resampler_cfg=rs, resampler=init_resampler(ks[6], rs, dtype=dtype),
+        )
+
+    def params(self) -> dict:
+        return {"unet": self.unet, "garm": self.garm, "vae": self.vae,
+                "clip_l": self.clip_l, "clip_g": self.clip_g,
+                "vision": self.vision, "resampler": self.resampler}
+
+    def with_params(self, params: dict) -> "TryonModels":
+        return dataclasses.replace(self, **params)
+
+
+def encode_prompt_sdxl(models: TryonModels, params: dict, ids_l, ids_g):
+    """SDXL dual text encode: concat penultimate hidden states (768+1280=2048)
+    + bigG pooled projection (reference: src/tryon_pipeline.py:609-645)."""
+    out_l = clip_text_apply(params["clip_l"], models.clip_l_cfg, ids_l)
+    out_g = clip_text_apply(params["clip_g"], models.clip_g_cfg, ids_g)
+    embeds = jnp.concatenate([out_l["penultimate"], out_g["penultimate"]],
+                             axis=-1)
+    return embeds, out_g["pooled"]
+
+
+class TryonPipeline:
+    """Functional pipeline: __call__ builds/jits one generate program."""
+
+    def __init__(self, models: TryonModels,
+                 scheduler: Optional[DDPMScheduler] = None):
+        self.models = models
+        self.scheduler = scheduler or DDPMScheduler(SchedulerConfig.sdxl_inference())
+
+    # -- the whole generation as one pure function (jittable) ---------------
+
+    def generate(self, params: dict, rng, *,
+                 person, mask, pose, cloth,
+                 prompt_ids_l, prompt_ids_g,
+                 neg_ids_l, neg_ids_g,
+                 cloth_ids_l, cloth_ids_g,
+                 ip_pixels,
+                 num_steps: int = 30,
+                 guidance_scale: float = 2.0,
+                 guidance_rescale: float = 0.0,
+                 strength: float = 1.0,
+                 impl: Optional[str] = None):
+        """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in {0,1}
+        (1 = inpaint region); ip_pixels (B, 224, 224, 3) CLIP-normalized.
+        Returns images (B, H, W, 3) in [-1, 1].
+        """
+        m = self.models
+        sched = self.scheduler
+        b, img_h, img_w, _ = person.shape
+        lat_h, lat_w = img_h // m.vae_cfg.downscale, img_w // m.vae_cfg.downscale
+        dtype = person.dtype
+
+        rngs = jax.random.split(rng, 6)
+
+        # ---- text encoders (person prompt + negative + garment prompt)
+        prompt_embeds, pooled = encode_prompt_sdxl(m, params, prompt_ids_l, prompt_ids_g)
+        neg_embeds, neg_pooled = encode_prompt_sdxl(m, params, neg_ids_l, neg_ids_g)
+        cloth_embeds, _ = encode_prompt_sdxl(m, params, cloth_ids_l, cloth_ids_g)
+
+        # ---- IP-Adapter image path: ViT-H penultimate -> resampler, with a
+        # zeros-image uncond branch (reference: tryon_pipeline.py:469-482)
+        vis = clip_vision_apply(params["vision"], m.vision_cfg, ip_pixels)
+        vis_uncond = clip_vision_apply(params["vision"], m.vision_cfg,
+                                       jnp.zeros_like(ip_pixels))
+        ip_cond = resampler_apply(params["resampler"], m.resampler_cfg,
+                                  vis["penultimate"])
+        ip_uncond = resampler_apply(params["resampler"], m.resampler_cfg,
+                                    vis_uncond["penultimate"])
+
+        # ---- VAE encodes (masked person, pose, cloth)
+        masked_person = person * (mask < 0.5).astype(dtype)
+        masked_lat = vae_encode(params["vae"], m.vae_cfg, masked_person,
+                                rng=rngs[0])
+        pose_lat = vae_encode(params["vae"], m.vae_cfg, pose, rng=rngs[1])
+        cloth_lat = vae_encode(params["vae"], m.vae_cfg, cloth, rng=rngs[2])
+        mask_lat = jax.image.resize(mask, (b, lat_h, lat_w, 1), "nearest").astype(dtype)
+
+        # ---- CFG-batched static conditioning (uncond first, diffusers order)
+        context = jnp.concatenate([
+            jnp.concatenate([neg_embeds, ip_uncond], axis=1),
+            jnp.concatenate([prompt_embeds, ip_cond], axis=1),
+        ], axis=0)
+        add_text_embeds = jnp.concatenate([neg_pooled, pooled], axis=0)
+        time_ids = jnp.tile(
+            jnp.asarray([img_h, img_w, 0, 0, img_h, img_w], dtype)[None],
+            (2 * b, 1))
+        mask_2b = jnp.concatenate([mask_lat] * 2, axis=0)
+        masked_2b = jnp.concatenate([masked_lat] * 2, axis=0)
+        pose_2b = jnp.concatenate([pose_lat] * 2, axis=0)
+
+        # ---- init latents: pure noise at strength 1.0
+        latents = jax.random.normal(
+            rngs[3], (b, lat_h, lat_w, m.vae_cfg.latent_channels),
+            jnp.float32).astype(dtype) * sched.init_noise_sigma
+
+        ts = sched.timesteps(num_steps, strength)
+        prev_ts = sched.prev_timesteps(ts, num_steps)
+        step_rngs = jax.random.split(rngs[4], ts.shape[0])
+
+        def denoise_step(latents, scan_in):
+            t, prev_t, step_rng = scan_in
+            # GarmentNet on cond batch only (B), per-step: its resnets are
+            # time-conditioned (tryon_pipeline.py:1787)
+            _, feats = unet_apply(params["garm"], m.garm_cfg, cloth_lat, t,
+                                  cloth_embeds, impl=impl)
+            # uncond half attends to zero features (tryon_pipeline.py:1795)
+            feats_cfg = tuple(
+                jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+
+            lat_in = jnp.concatenate([latents] * 2, axis=0)
+            unet_in = jnp.concatenate([lat_in, mask_2b, masked_2b, pose_2b],
+                                      axis=-1)
+            noise_pred, _ = unet_apply(
+                params["unet"], m.unet_cfg, unet_in, t, context,
+                added_cond=(add_text_embeds, time_ids),
+                garment_features=feats_cfg, impl=impl)
+            uncond, cond = jnp.split(noise_pred, 2, axis=0)
+            guided = classifier_free_guidance(uncond, cond, guidance_scale,
+                                              guidance_rescale)
+            step_noise = jax.random.normal(step_rng, latents.shape,
+                                           jnp.float32).astype(dtype)
+            new_latents, _ = sched.step(guided, t, prev_t, latents, step_noise)
+            return new_latents, None
+
+        latents, _ = jax.lax.scan(denoise_step, latents,
+                                  (ts, prev_ts, step_rngs))
+
+        # ---- decode (fp32 path per VAEConfig.force_upcast)
+        images = vae_decode(params["vae"], m.vae_cfg, latents)
+        return jnp.clip(images, -1.0, 1.0).astype(dtype)
+
+    def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
+                     guidance_rescale: float = 0.0, strength: float = 1.0,
+                     impl: Optional[str] = None, donate: bool = False):
+        """Returns jitted fn(params, rng, **tensor_kwargs) -> images."""
+        gen = functools.partial(
+            self.generate, num_steps=num_steps, guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale, strength=strength, impl=impl)
+        return jax.jit(gen)
