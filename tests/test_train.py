@@ -1,0 +1,73 @@
+"""Training-step tests on tiny models: loss finite, params update, DP parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idmvton_tpu.core.config import SchedulerConfig
+from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+from idmvton_tpu.pipeline.tryon import TryonModels
+from idmvton_tpu.train.train_step import (
+    make_optimizer, init_train_state, make_train_step,
+)
+from idmvton_tpu.parallel.mesh import make_mesh, shard_batch, replicate_params
+
+DTYPE = jnp.float32
+
+
+def _batch(b, h, w, models, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 8)
+    vocab = models.clip_l_cfg.vocab_size
+    isz = models.vision_cfg.image_size
+    img = lambda k, c=3: jax.random.uniform(ks[k], (b, h, w, c), DTYPE, -1, 1)
+    ids = lambda k: jax.random.randint(ks[k], (b, 7), 0, vocab)
+    return dict(
+        person=img(0), pose=img(1), cloth=img(2),
+        mask=(jax.random.uniform(ks[3], (b, h, w, 1)) > 0.5).astype(DTYPE),
+        prompt_ids_l=ids(4), prompt_ids_g=ids(4),
+        cloth_ids_l=ids(5), cloth_ids_g=ids(5),
+        ip_pixels=jax.random.uniform(ks[6], (b, isz, isz, 3), DTYPE, -1, 1),
+    )
+
+
+def test_train_step_updates_and_is_finite():
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    sched = DDPMScheduler(SchedulerConfig.train())
+    tx = make_optimizer(learning_rate=1e-4)
+    state = init_train_state(models, tx)
+    step = jax.jit(make_train_step(models, sched, tx, snr_gamma=5.0,
+                                   compute_dtype=DTYPE))
+    batch = _batch(2, 32, 32, models)
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert float(metrics["grad_norm"]) > 0
+    # params actually moved
+    k0 = state.trainable["unet"]["conv_in"]["kernel"]
+    k1 = state1.trainable["unet"]["conv_in"]["kernel"]
+    assert float(jnp.abs(k1 - k0).max()) > 0
+    assert int(state1.step) == 1
+    # frozen towers untouched by construction (not in trainable)
+    assert set(state1.trainable.keys()) == {"unet", "resampler"}
+
+
+def test_train_step_data_parallel_matches():
+    """Sharded batch over 8 devices produces the same update as unsharded
+    (grad all-reduce == serial mean)."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    sched = DDPMScheduler(SchedulerConfig.train())
+    tx = make_optimizer(learning_rate=1e-4)
+    state = init_train_state(models, tx)
+    step = jax.jit(make_train_step(models, sched, tx, compute_dtype=DTYPE))
+    batch = _batch(8, 32, 32, models)
+    ref_state, ref_metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+    state_r = jax.tree_util.tree_map(lambda x: x, state)  # fresh copy
+    out_state, out_metrics = step(state_r, sharded, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(out_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    a = np.asarray(ref_state.trainable["unet"]["conv_in"]["kernel"])
+    b = np.asarray(out_state.trainable["unet"]["conv_in"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
