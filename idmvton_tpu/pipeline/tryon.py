@@ -114,30 +114,28 @@ class TryonPipeline:
         self.models = models
         self.scheduler = scheduler or DDPMScheduler(SchedulerConfig.sdxl_inference())
 
-    # -- the whole generation as one pure function (jittable) ---------------
+    # -- stage 1: all conditioning encodes (text, image, VAE) ---------------
 
-    def generate(self, params: dict, rng, *,
-                 person, mask, pose, cloth,
-                 prompt_ids_l, prompt_ids_g,
-                 neg_ids_l, neg_ids_g,
-                 cloth_ids_l, cloth_ids_g,
-                 ip_pixels,
-                 num_steps: int = 30,
-                 guidance_scale: float = 2.0,
-                 guidance_rescale: float = 0.0,
-                 strength: float = 1.0,
-                 impl: Optional[str] = None):
-        """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in {0,1}
-        (1 = inpaint region); ip_pixels (B, 224, 224, 3) CLIP-normalized.
-        Returns images (B, H, W, 3) in [-1, 1].
+    def encode_conditioning(self, params: dict, rng, *,
+                            person, mask, pose, cloth,
+                            prompt_ids_l, prompt_ids_g,
+                            neg_ids_l, neg_ids_g,
+                            cloth_ids_l, cloth_ids_g,
+                            ip_pixels) -> dict:
+        """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in
+        {0,1} (1 = inpaint region); ip_pixels (B, 224, 224, 3)
+        CLIP-normalized. Returns the static conditioning dict for denoise().
+
+        Staging exists so serving can drop encoder weights from HBM before
+        the UNet-heavy denoise phase (the whole stack is ~6.7B params —
+        13.5 GB bf16 — vs 16 GB on a v5e chip); generate() fuses all stages
+        into one program when memory allows.
         """
         m = self.models
-        sched = self.scheduler
         b, img_h, img_w, _ = person.shape
         lat_h, lat_w = img_h // m.vae_cfg.downscale, img_w // m.vae_cfg.downscale
         dtype = person.dtype
-
-        rngs = jax.random.split(rng, 6)
+        rngs = jax.random.split(rng, 3)
 
         # ---- text encoders (person prompt + negative + garment prompt)
         prompt_embeds, pooled = encode_prompt_sdxl(m, params, prompt_ids_l, prompt_ids_g)
@@ -171,50 +169,116 @@ class TryonPipeline:
         time_ids = jnp.tile(
             jnp.asarray([img_h, img_w, 0, 0, img_h, img_w], dtype)[None],
             (2 * b, 1))
-        mask_2b = jnp.concatenate([mask_lat] * 2, axis=0)
-        masked_2b = jnp.concatenate([masked_lat] * 2, axis=0)
-        pose_2b = jnp.concatenate([pose_lat] * 2, axis=0)
+        return {
+            "context": context,
+            "add_text_embeds": add_text_embeds,
+            "time_ids": time_ids,
+            "mask_lat": mask_lat,
+            "masked_lat": masked_lat,
+            "pose_lat": pose_lat,
+            "cloth_lat": cloth_lat,
+            "cloth_embeds": cloth_embeds,
+        }
 
-        # ---- init latents: pure noise at strength 1.0
-        latents = jax.random.normal(
-            rngs[3], (b, lat_h, lat_w, m.vae_cfg.latent_channels),
-            jnp.float32).astype(dtype) * sched.init_noise_sigma
+    # -- stage 2: a single denoise step (the hot-loop body) -----------------
 
+    def denoise_step(self, params: dict, cond: dict, latents, t, prev_t,
+                     step_rng, *, guidance_scale: float = 2.0,
+                     guidance_rescale: float = 0.0,
+                     impl: Optional[str] = None):
+        """One CFG denoise step: GarmentNet fwd -> TryonNet fwd -> CFG ->
+        DDPM step (reference hot loop: tryon_pipeline.py:1765-1866)."""
+        m = self.models
+        sched = self.scheduler
+        dtype = latents.dtype
+        # GarmentNet on cond batch only (B), per-step: its resnets are
+        # time-conditioned (tryon_pipeline.py:1787)
+        _, feats = unet_apply(params["garm"], m.garm_cfg, cond["cloth_lat"],
+                              t, cond["cloth_embeds"], impl=impl)
+        # uncond half attends to zero features (tryon_pipeline.py:1795)
+        feats_cfg = tuple(
+            jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+
+        lat_in = jnp.concatenate([latents] * 2, axis=0)
+        unet_in = jnp.concatenate(
+            [lat_in,
+             jnp.concatenate([cond["mask_lat"]] * 2, axis=0),
+             jnp.concatenate([cond["masked_lat"]] * 2, axis=0),
+             jnp.concatenate([cond["pose_lat"]] * 2, axis=0)], axis=-1)
+        noise_pred, _ = unet_apply(
+            params["unet"], m.unet_cfg, unet_in, t, cond["context"],
+            added_cond=(cond["add_text_embeds"], cond["time_ids"]),
+            garment_features=feats_cfg, impl=impl)
+        uncond, condp = jnp.split(noise_pred, 2, axis=0)
+        guided = classifier_free_guidance(uncond, condp, guidance_scale,
+                                          guidance_rescale)
+        step_noise = jax.random.normal(step_rng, latents.shape,
+                                       jnp.float32).astype(dtype)
+        new_latents, _ = sched.step(guided, t, prev_t, latents, step_noise)
+        return new_latents
+
+    def denoise(self, params: dict, rng, cond: dict, *,
+                latent_shape: Tuple[int, int, int, int],
+                num_steps: int = 30, guidance_scale: float = 2.0,
+                guidance_rescale: float = 0.0, strength: float = 1.0,
+                dtype=None, impl: Optional[str] = None):
+        """The 30-step loop as one lax.scan. Returns final latents."""
+        sched = self.scheduler
+        init_rng, steps_rng = jax.random.split(rng)
+        dtype = dtype or cond["masked_lat"].dtype
+        latents = jax.random.normal(init_rng, latent_shape,
+                                    jnp.float32).astype(dtype) * sched.init_noise_sigma
         ts = sched.timesteps(num_steps, strength)
         prev_ts = sched.prev_timesteps(ts, num_steps)
-        step_rngs = jax.random.split(rngs[4], ts.shape[0])
+        step_rngs = jax.random.split(steps_rng, ts.shape[0])
 
-        def denoise_step(latents, scan_in):
+        def body(latents, scan_in):
             t, prev_t, step_rng = scan_in
-            # GarmentNet on cond batch only (B), per-step: its resnets are
-            # time-conditioned (tryon_pipeline.py:1787)
-            _, feats = unet_apply(params["garm"], m.garm_cfg, cloth_lat, t,
-                                  cloth_embeds, impl=impl)
-            # uncond half attends to zero features (tryon_pipeline.py:1795)
-            feats_cfg = tuple(
-                jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+            return self.denoise_step(
+                params, cond, latents, t, prev_t, step_rng,
+                guidance_scale=guidance_scale,
+                guidance_rescale=guidance_rescale, impl=impl), None
 
-            lat_in = jnp.concatenate([latents] * 2, axis=0)
-            unet_in = jnp.concatenate([lat_in, mask_2b, masked_2b, pose_2b],
-                                      axis=-1)
-            noise_pred, _ = unet_apply(
-                params["unet"], m.unet_cfg, unet_in, t, context,
-                added_cond=(add_text_embeds, time_ids),
-                garment_features=feats_cfg, impl=impl)
-            uncond, cond = jnp.split(noise_pred, 2, axis=0)
-            guided = classifier_free_guidance(uncond, cond, guidance_scale,
-                                              guidance_rescale)
-            step_noise = jax.random.normal(step_rng, latents.shape,
-                                           jnp.float32).astype(dtype)
-            new_latents, _ = sched.step(guided, t, prev_t, latents, step_noise)
-            return new_latents, None
+        latents, _ = jax.lax.scan(body, latents, (ts, prev_ts, step_rngs))
+        return latents
 
-        latents, _ = jax.lax.scan(denoise_step, latents,
-                                  (ts, prev_ts, step_rngs))
+    # -- stage 3: decode -----------------------------------------------------
 
-        # ---- decode (fp32 path per VAEConfig.force_upcast)
-        images = vae_decode(params["vae"], m.vae_cfg, latents)
-        return jnp.clip(images, -1.0, 1.0).astype(dtype)
+    def decode(self, params: dict, latents):
+        images = vae_decode(params["vae"], self.models.vae_cfg, latents)
+        return jnp.clip(images, -1.0, 1.0).astype(latents.dtype)
+
+    # -- fused: the whole generation as one pure function (jittable) --------
+
+    def generate(self, params: dict, rng, *,
+                 person, mask, pose, cloth,
+                 prompt_ids_l, prompt_ids_g,
+                 neg_ids_l, neg_ids_g,
+                 cloth_ids_l, cloth_ids_g,
+                 ip_pixels,
+                 num_steps: int = 30,
+                 guidance_scale: float = 2.0,
+                 guidance_rescale: float = 0.0,
+                 strength: float = 1.0,
+                 impl: Optional[str] = None):
+        """Returns images (B, H, W, 3) in [-1, 1]."""
+        m = self.models
+        b, img_h, img_w, _ = person.shape
+        lat_h, lat_w = img_h // m.vae_cfg.downscale, img_w // m.vae_cfg.downscale
+        cond_rng, denoise_rng = jax.random.split(rng)
+        cond = self.encode_conditioning(
+            params, cond_rng, person=person, mask=mask, pose=pose, cloth=cloth,
+            prompt_ids_l=prompt_ids_l, prompt_ids_g=prompt_ids_g,
+            neg_ids_l=neg_ids_l, neg_ids_g=neg_ids_g,
+            cloth_ids_l=cloth_ids_l, cloth_ids_g=cloth_ids_g,
+            ip_pixels=ip_pixels)
+        latents = self.denoise(
+            params, denoise_rng, cond,
+            latent_shape=(b, lat_h, lat_w, m.vae_cfg.latent_channels),
+            num_steps=num_steps, guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale, strength=strength,
+            dtype=person.dtype, impl=impl)
+        return self.decode(params, latents)
 
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0, strength: float = 1.0,
