@@ -77,7 +77,9 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
     in_ch = chans[0]
     for lvl, btype in enumerate(cfg.down_block_types):
         out_ch = chans[lvl]
-        blk = {"resnets": [], "attentions": []}
+        blk = {"resnets": []}
+        if btype == "attn":
+            blk["attentions"] = []
         for i in range(cfg.layers_per_block):
             blk["resnets"].append(init_resnet_block(
                 nk(), in_ch if i == 0 else out_ch, out_ch,
@@ -110,7 +112,9 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
         out_ch = rev[i]
         prev_out = rev[max(i - 1, 0)]
         in_skip = rev[min(i + 1, cfg.num_levels - 1)]
-        blk = {"resnets": [], "attentions": []}
+        blk = {"resnets": []}
+        if btype == "attn":
+            blk["attentions"] = []
         for j in range(cfg.layers_per_block + 1):
             res_skip = in_skip if j == cfg.layers_per_block else out_ch
             res_in = prev_out if j == 0 else out_ch
