@@ -1,0 +1,137 @@
+"""Fine-tuning CLI (reference: train_xl.py main(), :301-797).
+
+Trains TryonNet (+Resampler) with everything else frozen, DDPM noise-pred
+MSE, optional min-SNR, remat, AdamW(1e-5), grad clip 1.0, data parallel over
+all local devices, periodic orbax checkpoints.
+
+Usage:
+  python -m idmvton_tpu.cli.train --data_dir /path/VITON-HD \\
+      --output_dir ckpt_out --train_batch_size 6 --max_steps 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="idmvton_tpu fine-tuning")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", default="ckpt_out")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--diffusers", action="store_true")
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--train_batch_size", type=int, default=6,
+                   help="per-device batch (reference: 6, train_xl.sh)")
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--num_train_epochs", type=int, default=130)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--checkpointing_steps", type=int, default=1000)
+    p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_remat", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dtype = jnp.bfloat16
+
+    from idmvton_tpu.core.config import SchedulerConfig
+    from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+    from idmvton_tpu.pipeline.tryon import TryonModels
+    from idmvton_tpu.train.train_step import (
+        make_optimizer, init_train_state, make_train_step,
+    )
+    from idmvton_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+    from idmvton_tpu.data.datasets import VitonHDDataset, BatchLoader
+    from idmvton_tpu.data.tokenizer import load_tokenizers
+    from idmvton_tpu.weights.checkpoint import save_pipeline, load_pipeline, from_diffusers
+
+    if args.pretrained and args.diffusers:
+        models = from_diffusers(args.pretrained, dtype)
+    elif args.pretrained:
+        models = load_pipeline(args.pretrained, dtype)
+    else:
+        models = TryonModels.init(jax.random.PRNGKey(0), tiny=False, dtype=dtype)
+
+    sched = DDPMScheduler(SchedulerConfig.train())
+    tx = make_optimizer(args.learning_rate, args.weight_decay,
+                        max_grad_norm=args.max_grad_norm)
+    state = init_train_state(models, tx)
+    step_fn = jax.jit(make_train_step(models, sched, tx,
+                                      snr_gamma=args.snr_gamma,
+                                      compute_dtype=dtype,
+                                      remat=not args.no_remat))
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    state = jax.device_put(state, replicated(mesh))
+    global_batch = args.train_batch_size * n_dev
+
+    tok_dir = args.tokenizer_dir or (args.pretrained if args.diffusers else None)
+    tok1, tok2 = load_tokenizers(
+        os.path.join(tok_dir, "tokenizer") if tok_dir else None,
+        os.path.join(tok_dir, "tokenizer_2") if tok_dir else None)
+
+    ds = VitonHDDataset(args.data_dir, phase="train",
+                        size=(args.height, args.width), hflip_prob=0.5,
+                        seed=args.seed)
+    loader = BatchLoader(ds, global_batch, shuffle=True, drop_last=True,
+                         seed=args.seed)
+
+    rng = jax.random.PRNGKey(args.seed)
+    gstep = 0
+    t0 = time.time()
+    for epoch in range(args.num_train_epochs):
+        for batch in loader:
+            jb = dict(
+                person=jnp.asarray(batch["person"], dtype),
+                mask=jnp.asarray(batch["mask"], dtype),
+                pose=jnp.asarray(batch["pose"], dtype),
+                cloth=jnp.asarray(batch["cloth"], dtype),
+                ip_pixels=jnp.asarray(batch["ip_pixels"], dtype),
+                prompt_ids_l=jnp.asarray(tok1(batch["caption"])),
+                prompt_ids_g=jnp.asarray(tok2(batch["caption"])),
+                cloth_ids_l=jnp.asarray(tok1(batch["caption_cloth"])),
+                cloth_ids_g=jnp.asarray(tok2(batch["caption_cloth"])),
+            )
+            jb = shard_batch(jb, mesh)
+            rng, srng = jax.random.split(rng)
+            state, metrics = step_fn(state, jb, srng)
+            gstep += 1
+            if gstep % args.logging_steps == 0:
+                loss = float(metrics["loss"])
+                ips = global_batch * args.logging_steps / (time.time() - t0)
+                t0 = time.time()
+                print(f"epoch {epoch} step {gstep}: loss {loss:.4f} "
+                      f"grad_norm {float(metrics['grad_norm']):.3f} "
+                      f"({ips:.2f} img/s)")
+            if gstep % args.checkpointing_steps == 0 or \
+                    (args.max_steps and gstep >= args.max_steps):
+                out = os.path.join(args.output_dir, f"step_{gstep}")
+                trained = models.with_params({
+                    "unet": jax.tree_util.tree_map(
+                        lambda x: x.astype(dtype), state.trainable["unet"]),
+                    "resampler": jax.tree_util.tree_map(
+                        lambda x: x.astype(dtype), state.trainable["resampler"]),
+                })
+                save_pipeline(out, trained)
+                print(f"checkpoint -> {out}")
+            if args.max_steps and gstep >= args.max_steps:
+                return
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,10 @@ def init_upsample(key, ch: int, out_ch: Optional[int] = None, dtype=jnp.bfloat16
     return {"conv": init_conv(key, ch, out_ch or ch, 3, dtype=dtype)}
 
 
-def upsample2d(params, x):
+def upsample2d(params, x, out_hw: Optional[tuple] = None):
+    """Nearest 2x upsample (or to explicit ``out_hw`` — diffusers forwards the
+    skip connection's size so odd input dims round-trip, Upsample2D semantics)."""
     b, h, w, c = x.shape
-    x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+    th, tw = out_hw if out_hw is not None else (h * 2, w * 2)
+    x = jax.image.resize(x, (b, th, tw, c), method="nearest")
     return conv2d(params["conv"], x)

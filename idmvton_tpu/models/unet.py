@@ -244,7 +244,8 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, context, *,
             if btype == "attn":
                 h = run_t2d(blk["attentions"][j], h, cfg.transformer_depth[lvl])
         if "upsample" in blk:
-            h = upsample2d(blk["upsample"], h)
+            target = res_stack[-1].shape[1:3] if res_stack else None
+            h = upsample2d(blk["upsample"], h, out_hw=target)
 
     if cfg.skip_final_output:
         return None, tuple(emitted)

@@ -1,0 +1,116 @@
+"""Checkpoint IO.
+
+- save/load the full model stack with orbax (TPU-native replacement for the
+  reference's whole-pipeline diffusers save_pretrained, train_xl.py:770-792).
+- ``from_diffusers`` builds a TryonModels from a diffusers-layout pretrained
+  directory (the yisol/IDM-VTON hub layout inference.py:232-274 loads), via
+  the torch->jax converters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from idmvton_tpu.core.config import (
+    UNetConfig, VAEConfig, CLIPTextConfig, CLIPVisionConfig, ResamplerConfig,
+)
+from idmvton_tpu.pipeline.tryon import TryonModels
+from idmvton_tpu.weights.converter import (
+    load_state_dict, convert_unet, convert_vae, convert_clip_text,
+    convert_clip_vision, convert_resampler,
+)
+
+_CFG_FIELDS = ("unet_cfg", "garm_cfg", "vae_cfg", "clip_l_cfg", "clip_g_cfg",
+               "vision_cfg", "resampler_cfg")
+_CFG_TYPES = (UNetConfig, UNetConfig, VAEConfig, CLIPTextConfig,
+              CLIPTextConfig, CLIPVisionConfig, ResamplerConfig)
+
+
+def save_pipeline(path: str, models: TryonModels):
+    import orbax.checkpoint as ocp
+    os.makedirs(path, exist_ok=True)
+    cfgs = {f: dataclasses.asdict(getattr(models, f)) for f in _CFG_FIELDS}
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfgs, f, indent=2)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), "params"), models.params(),
+               force=True)
+
+
+def load_pipeline(path: str, dtype=jnp.bfloat16) -> TryonModels:
+    import orbax.checkpoint as ocp
+    with open(os.path.join(path, "config.json")) as f:
+        cfgs = json.load(f)
+    kw = {}
+    for field, typ in zip(_CFG_FIELDS, _CFG_TYPES):
+        d = cfgs[field]
+        for k, v in list(d.items()):
+            if isinstance(v, list):
+                d[k] = tuple(v)
+        kw[field] = typ(**d)
+    ckptr = ocp.PyTreeCheckpointer()
+    params = ckptr.restore(os.path.join(os.path.abspath(path), "params"))
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype) if jnp.asarray(x).dtype in
+        (jnp.float32, jnp.bfloat16, jnp.float16) else jnp.asarray(x), t)
+    params = {k: cast(v) for k, v in params.items()}
+    return TryonModels(**kw, **params)
+
+
+def _find_weights(subdir: str) -> Optional[str]:
+    for pattern in ("*.safetensors", "*.bin", "*.pth", "*.pt"):
+        hits = sorted(glob.glob(os.path.join(subdir, pattern)))
+        if hits:
+            return hits[0]
+    return None
+
+
+def from_diffusers(root: str, dtype=jnp.bfloat16, *,
+                   unet_subfolder: str = "unet") -> TryonModels:
+    """Build TryonModels from a diffusers hub layout:
+    {unet, unet_encoder, vae, text_encoder, text_encoder_2, image_encoder}
+    subfolders (reference: inference.py:232-274, yisol/IDM-VTON). The trained
+    TryonNet carries the Resampler as encoder_hid_proj inside its state dict
+    (train_xl.py:343-357); image_proj.* keys are converted separately."""
+    cfgs = dict(
+        unet_cfg=UNetConfig.sdxl_tryon(), garm_cfg=UNetConfig.sdxl_garment(),
+        vae_cfg=VAEConfig.sdxl(), clip_l_cfg=CLIPTextConfig.clip_l(),
+        clip_g_cfg=CLIPTextConfig.clip_bigg(),
+        vision_cfg=CLIPVisionConfig.vit_h(),
+        resampler_cfg=ResamplerConfig.sdxl_plus(),
+    )
+    unet_sd = load_state_dict(_find_weights(os.path.join(root, unet_subfolder)))
+    garm_sd = load_state_dict(_find_weights(os.path.join(root, "unet_encoder")))
+    vae_sd = load_state_dict(_find_weights(os.path.join(root, "vae")))
+    te1_sd = load_state_dict(_find_weights(os.path.join(root, "text_encoder")))
+    te2_sd = load_state_dict(_find_weights(os.path.join(root, "text_encoder_2")))
+    img_sd = load_state_dict(_find_weights(os.path.join(root, "image_encoder")))
+
+    # Resampler weights: inside the trained unet as encoder_hid_proj.* or a
+    # raw ip-adapter bin's image_proj.*
+    if any(k.startswith("encoder_hid_proj.") for k in unet_sd):
+        rs = convert_resampler(unet_sd, cfgs["resampler_cfg"], dtype,
+                               prefix="encoder_hid_proj.")
+    else:
+        ip_bin = _find_weights(os.path.join(root, "ip_adapter"))
+        ip_sd = load_state_dict(ip_bin)
+        prefix = "image_proj." if any(k.startswith("image_proj.") for k in ip_sd) else ""
+        rs = convert_resampler(ip_sd, cfgs["resampler_cfg"], dtype, prefix=prefix)
+
+    return TryonModels(
+        **cfgs,
+        unet=convert_unet(unet_sd, cfgs["unet_cfg"], dtype),
+        garm=convert_unet(garm_sd, cfgs["garm_cfg"], dtype),
+        vae=convert_vae(vae_sd, cfgs["vae_cfg"], dtype),
+        clip_l=convert_clip_text(te1_sd, cfgs["clip_l_cfg"], dtype),
+        clip_g=convert_clip_text(te2_sd, cfgs["clip_g_cfg"], dtype),
+        vision=convert_clip_vision(img_sd, cfgs["vision_cfg"], dtype),
+        resampler=rs,
+    )
