@@ -1,6 +1,6 @@
 """Benchmark: VITON-HD try-on inference at the reference operating point —
 768x1024, 30 denoise steps, CFG 2.0, batch 2 (reference: inference.py:53-61,
-BASELINE.md) — on one TPU chip, random-init weights (FLOPs are weight-agnostic).
+BASELINE.md) — on one TPU chip, random weights (FLOPs are weight-agnostic).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
@@ -10,8 +10,13 @@ point is the BASELINE.json north star "A100-class images/sec/chip". A100
 SDXL-inpainting with a second full UNet forward per step at fp16/batch 2 runs
 ~4 s/image (~0.25 img/s) — used as the denominator.
 
-Runs staged (encode -> denoise -> decode) so encoder tower weights are freed
-from HBM before the 10.4 GB dual-UNet denoise phase (16 GB v5e).
+Structure:
+- staged (encode -> denoise -> decode) so encoder tower weights can drop out
+  of HBM before the 10.3 GB dual-UNet denoise phase (16 GB v5e);
+- the denoise STEP is jitted and python-looped (dispatch overhead is
+  negligible at ~0.5 s/step; compiling the full 30-step scan through the
+  remote-compile tunnel takes tens of minutes vs ~2 min for the step);
+- params come from the fused flat-buffer initializer (utils/fast_init.py).
 """
 
 import json
@@ -21,9 +26,9 @@ import time
 
 import jax
 
-# sitecustomize pre-imports jax with the axon TPU platform; BENCH_PLATFORM
-# overrides it (env JAX_PLATFORMS alone is too late for this process).
 if os.environ.get("BENCH_PLATFORM"):
+    # sitecustomize pre-imports jax with the axon TPU platform; env
+    # JAX_PLATFORMS alone is too late for this process.
     jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 import jax.numpy as jnp
@@ -36,29 +41,33 @@ TINY = os.environ.get("BENCH_TINY") == "1"
 BATCH = int(os.environ.get("BENCH_BATCH", "2"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 REPS = int(os.environ.get("BENCH_REPS", "2"))
+IMPL = os.environ.get("BENCH_IMPL")  # None -> auto (pallas on tpu)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
-    from idmvton_tpu.core.config import SchedulerConfig
+    from idmvton_tpu.core.config import (
+        SchedulerConfig, UNetConfig, VAEConfig, CLIPTextConfig,
+        CLIPVisionConfig, ResamplerConfig,
+    )
     from idmvton_tpu.diffusion.scheduler import DDPMScheduler
     from idmvton_tpu.models.unet import init_unet
     from idmvton_tpu.models.vae import init_vae
     from idmvton_tpu.models.clip import init_clip_text, init_clip_vision
     from idmvton_tpu.models.resampler import init_resampler
     from idmvton_tpu.pipeline.tryon import TryonModels, TryonPipeline
-    import dataclasses
+    from idmvton_tpu.utils.fast_init import fast_random_params
 
     dtype = jnp.bfloat16
     if TINY:
         b, img_h, img_w = 2, 64, 64
         models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=dtype)
+        params = models.params()
     else:
         b, img_h, img_w = BATCH, 1024, 768
-        # init each tower as its own compiled program, on-device
-        from idmvton_tpu.core.config import (
-            UNetConfig, VAEConfig, CLIPTextConfig, CLIPVisionConfig,
-            ResamplerConfig,
-        )
         cfgs = dict(
             unet_cfg=UNetConfig.sdxl_tryon(), garm_cfg=UNetConfig.sdxl_garment(),
             vae_cfg=VAEConfig.sdxl(), clip_l_cfg=CLIPTextConfig.clip_l(),
@@ -77,12 +86,17 @@ def main():
         )
         key = jax.random.PRNGKey(0)
         keys = dict(zip(inits, jax.random.split(key, len(inits))))
-        params = {name: jax.jit(fn)(keys[name]) for name, fn in inits.items()}
+        params = {}
+        for name, fn in inits.items():
+            t0 = time.time()
+            params[name] = fast_random_params(keys[name], fn)
+            jax.block_until_ready(params[name])
+            log(f"init {name}: {time.time() - t0:.1f}s")
         models = TryonModels(**cfgs, **params)
 
     lat_h, lat_w = img_h // 8, img_w // 8
-    pipe = TryonPipeline(models, DDPMScheduler(SchedulerConfig.sdxl_inference()))
-    params = models.params()
+    sched = DDPMScheduler(SchedulerConfig.sdxl_inference())
+    pipe = TryonPipeline(models, sched)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 9)
     vocab = models.clip_l_cfg.vocab_size
@@ -102,31 +116,34 @@ def main():
         ip_pixels=jax.random.uniform(ks[7], (b, isz, isz, 3), dtype, -1, 1),
     )
 
-    encoder_names = ("clip_l", "clip_g", "vision", "resampler")
-    enc_params = {k: params[k] for k in encoder_names + ("vae",)}
-
     encode = jax.jit(lambda p, r, kw: pipe.encode_conditioning(p, r, **kw))
-    denoise = jax.jit(
-        lambda p, r, cond: pipe.denoise(
-            p, r, cond, latent_shape=(b, lat_h, lat_w, 4),
-            num_steps=STEPS, guidance_scale=2.0, dtype=dtype),
-        static_argnames=())
+    step = jax.jit(
+        lambda p, cond, lat, t, pt, r: pipe.denoise_step(
+            p, cond, lat, t, pt, r, guidance_scale=2.0, impl=IMPL))
     decode = jax.jit(lambda p, lat: pipe.decode(p, lat))
 
+    enc_params = {k: params[k]
+                  for k in ("clip_l", "clip_g", "vision", "resampler", "vae")}
     unet_params = {"unet": params["unet"], "garm": params["garm"]}
     vae_params = {"vae": params["vae"]}
 
-    def run(r):
-        cond = encode(enc_params, r, inputs)
-        lat = denoise(unet_params, r, cond)
+    ts = sched.timesteps(STEPS)
+    prev_ts = sched.prev_timesteps(ts, STEPS)
+
+    def run(rng):
+        r_enc, r_init, r_steps = jax.random.split(rng, 3)
+        cond = encode(enc_params, r_enc, inputs)
+        lat = jax.random.normal(r_init, (b, lat_h, lat_w, 4), jnp.float32).astype(dtype)
+        step_rngs = jax.random.split(r_steps, STEPS)
+        for i in range(STEPS):
+            lat = step(unet_params, cond, lat, ts[i], prev_ts[i], step_rngs[i])
         img = decode(vae_params, lat)
         jax.block_until_ready(img)
         return img
 
-    # warmup / compile
     t0 = time.time()
     run(jax.random.PRNGKey(10))
-    compile_s = time.time() - t0
+    log(f"compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for i in range(REPS):
@@ -143,9 +160,8 @@ def main():
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
     }
     print(json.dumps(result))
-    print(f"# compile {compile_s:.1f}s; times {['%.2f' % t for t in times]}; "
-          f"sec/img {best / b:.2f}; backend {jax.default_backend()}",
-          file=sys.stderr)
+    log(f"# times {['%.2f' % t for t in times]}; sec/img {best / b:.2f}; "
+        f"backend {jax.default_backend()}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,34 @@
+"""Fast random param initialization: one flat RNG buffer sliced per leaf.
+
+A per-leaf ``jax.random.normal`` init program has hundreds of RNG kernels and
+compiles ~12x slower on TPU (measured: 280s vs 23s for the 2.56B-param SDXL
+UNet). Weight *values* don't affect benchmarks or shape tests, so those paths
+use this fused initializer; real runs load converted checkpoints.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def fast_random_params(key, init_fn, *, std: float = 0.02, dtype=None):
+    """init_fn: key -> params (used only via eval_shape). Returns params with
+    iid normal(0, std) leaves in each leaf's dtype (or ``dtype`` override)."""
+    shapes = jax.eval_shape(init_fn, key)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    sizes = [math.prod(l.shape) for l in leaves]
+    total = sum(sizes)
+
+    def build(key):
+        flat = jax.random.normal(key, (total,), jnp.bfloat16) * std
+        out, off = [], 0
+        for leaf, n in zip(leaves, sizes):
+            x = flat[off:off + n].reshape(leaf.shape)
+            out.append(x.astype(dtype or leaf.dtype))
+            off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return jax.jit(build)(key)
