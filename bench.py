@@ -116,7 +116,7 @@ def main():
         ip_pixels=jax.random.uniform(ks[7], (b, isz, isz, 3), dtype, -1, 1),
     )
 
-    encode = jax.jit(lambda p, r, kw: pipe.encode_conditioning(p, r, **kw))
+    encode = pipe.staged_encoder()
     step = jax.jit(
         lambda p, cond, lat, t, pt, r: pipe.denoise_step(
             p, cond, lat, t, pt, r, guidance_scale=2.0, impl=IMPL))

@@ -180,6 +180,83 @@ class TryonPipeline:
             "cloth_embeds": cloth_embeds,
         }
 
+    def staged_encoder(self):
+        """Returns encode(params, rng, inputs_dict) -> cond dict, built from
+        per-tower jit programs with batched tower calls (3 prompt sets in one
+        text-tower pass, cond+uncond in one vision pass, 3 VAE encodes in
+        one pass). Same semantics as encode_conditioning (the VAE sampling
+        RNG stream differs); exists
+        because one fused encode graph inlines each tower 2-3x and compiles
+        ~10x slower through a remote-compile tunnel, and because serving can
+        drop each tower's weights from HBM after its pass."""
+        m = self.models
+
+        @jax.jit
+        def text_fn(p, ids_l, ids_g):
+            return encode_prompt_sdxl(m, p, ids_l, ids_g)
+
+        @jax.jit
+        def vision_resampler_fn(p, pixels):
+            vis = clip_vision_apply(p["vision"], m.vision_cfg, pixels)
+            return resampler_apply(p["resampler"], m.resampler_cfg,
+                                   vis["penultimate"])
+
+        @jax.jit
+        def vae_fn(p, imgs, rng):
+            return vae_encode(p["vae"], m.vae_cfg, imgs, rng=rng)
+
+        @functools.partial(jax.jit, static_argnames=("lat_hw",))
+        def mask_fn(mask, lat_hw):
+            b = mask.shape[0]
+            return jax.image.resize(mask, (b, *lat_hw, 1), "nearest")
+
+        def encode(params, rng, inputs):
+            person, mask = inputs["person"], inputs["mask"]
+            b, img_h, img_w, _ = person.shape
+            lat_hw = (img_h // m.vae_cfg.downscale, img_w // m.vae_cfg.downscale)
+            dtype = person.dtype
+            r_vae, _ = jax.random.split(rng)
+
+            ids_l = jnp.concatenate([inputs["prompt_ids_l"],
+                                     inputs["neg_ids_l"],
+                                     inputs["cloth_ids_l"]], axis=0)
+            ids_g = jnp.concatenate([inputs["prompt_ids_g"],
+                                     inputs["neg_ids_g"],
+                                     inputs["cloth_ids_g"]], axis=0)
+            embeds, pooled = text_fn(params, ids_l, ids_g)
+            prompt_embeds, neg_embeds, cloth_embeds = jnp.split(embeds, 3)
+            pooled_p, pooled_n, _ = jnp.split(pooled, 3)
+
+            ip_pixels = inputs["ip_pixels"]
+            ip_tokens = vision_resampler_fn(
+                params, jnp.concatenate([jnp.zeros_like(ip_pixels),
+                                         ip_pixels], axis=0))
+            ip_uncond, ip_cond = jnp.split(ip_tokens, 2)
+
+            masked_person = person * (mask < 0.5).astype(dtype)
+            lats = vae_fn(params, jnp.concatenate(
+                [masked_person, inputs["pose"], inputs["cloth"]], axis=0), r_vae)
+            masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
+            mask_lat = mask_fn(mask, lat_hw).astype(dtype)
+
+            context = jnp.concatenate([
+                jnp.concatenate([neg_embeds, ip_uncond], axis=1),
+                jnp.concatenate([prompt_embeds, ip_cond], axis=1)], axis=0)
+            return {
+                "context": context,
+                "add_text_embeds": jnp.concatenate([pooled_n, pooled_p], axis=0),
+                "time_ids": jnp.tile(jnp.asarray(
+                    [img_h, img_w, 0, 0, img_h, img_w], dtype)[None],
+                    (2 * b, 1)),
+                "mask_lat": mask_lat,
+                "masked_lat": masked_lat,
+                "pose_lat": pose_lat,
+                "cloth_lat": cloth_lat,
+                "cloth_embeds": cloth_embeds,
+            }
+
+        return encode
+
     # -- stage 2: a single denoise step (the hot-loop body) -----------------
 
     def denoise_step(self, params: dict, cond: dict, latents, t, prev_t,
