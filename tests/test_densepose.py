@@ -1,0 +1,88 @@
+"""DensePose R-CNN structural tests (random weights, small images)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from idmvton_tpu.preprocess.densepose.rcnn import (
+    DensePoseConfig, init_densepose_rcnn, densepose_rcnn_apply,
+    make_anchors, apply_deltas,
+)
+from idmvton_tpu.preprocess.densepose.visualize import (
+    extract_iuv, paint_segmentation, DensePose,
+)
+
+CFG = DensePoseConfig(rpn_pre_nms_topk=50, rpn_post_nms_topk=20,
+                      num_detections=4)
+
+
+def test_anchors():
+    a = make_anchors((2, 3), 4, 32, (0.5, 1.0, 2.0))
+    assert a.shape == (2 * 3 * 3, 4)
+    # anchor areas ~= size^2 regardless of aspect ratio
+    areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    np.testing.assert_allclose(areas, 32 * 32, rtol=1e-4)
+    # grid offset: second x-position shifted by stride
+    np.testing.assert_allclose(a[3][0] - a[0][0], 4.0, atol=1e-5)
+
+
+def test_apply_deltas_identity():
+    anchors = jnp.asarray([[0., 0., 10., 20.]])
+    out = apply_deltas(anchors, jnp.zeros((1, 4)), (1., 1., 1., 1.))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(anchors), atol=1e-5)
+    # dx shifts by width fraction
+    out = apply_deltas(anchors, jnp.asarray([[0.1, 0., 0., 0.]]),
+                       (1., 1., 1., 1.))
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 1.0, atol=1e-5)
+
+
+def test_rcnn_end_to_end_shapes():
+    params = init_densepose_rcnn(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 96, 3))
+    out = densepose_rcnn_apply(params, x, CFG)
+    k, s = CFG.num_detections, CFG.heatmap_size
+    assert out["boxes"].shape == (k, 4)
+    assert out["scores"].shape == (k,)
+    assert out["coarse"].shape == (k, s, s, 2)
+    assert out["fine"].shape == (k, s, s, 25)
+    assert out["u"].shape == (k, s, s, 25)
+    # boxes inside the image
+    b = np.asarray(out["boxes"])
+    assert (b[:, 0] >= 0).all() and (b[:, 2] <= 96).all()
+
+
+def test_extract_iuv():
+    k, s = 2, 8
+    coarse = np.zeros((k, s, s, 2), np.float32)
+    coarse[0, :, :, 1] = 1.0          # det 0 all foreground
+    coarse[1, :, :, 0] = 1.0          # det 1 all background
+    fine = np.zeros((k, s, s, 25), np.float32)
+    fine[0, :, :, 7] = 5.0
+    u = np.random.RandomState(0).rand(k, s, s, 25).astype(np.float32)
+    labels, uv = extract_iuv(jnp.asarray(coarse), jnp.asarray(fine),
+                             jnp.asarray(u), jnp.asarray(u))
+    assert (np.asarray(labels[0]) == 7).all()
+    assert (np.asarray(labels[1]) == 0).all()
+    np.testing.assert_allclose(np.asarray(uv[0, :, :, 0]), u[0, :, :, 7],
+                               atol=1e-6)
+
+
+def test_paint_segmentation():
+    img = np.random.RandomState(0).randint(0, 255, (64, 48, 3), np.uint8)
+    boxes = np.asarray([[8, 8, 40, 56]], np.float32)
+    labels = np.full((1, 112, 112), 12, np.uint8)
+    out = paint_segmentation(img, boxes, labels, np.asarray([True]))
+    assert out.shape == img.shape
+    # inside the box: colored (differs from gray); outside: gray
+    import cv2
+    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
+                        cv2.COLOR_GRAY2RGB)
+    assert np.any(out[20, 20] != gray[20, 20])
+    np.testing.assert_array_equal(out[2, 2], gray[2, 2])
+
+
+def test_wrapper_contract():
+    dp = DensePose(cfg=CFG, short_edge=64, max_size=96)
+    img = np.random.RandomState(0).randint(0, 255, (96, 72, 3), np.uint8)
+    out = dp(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
