@@ -24,6 +24,10 @@ import jax.numpy as jnp
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="idmvton_tpu VITON-HD inference")
     p.add_argument("--data_dir", required=True)
+    p.add_argument("--dataset", default="vitonhd", choices=["vitonhd", "dresscode"])
+    p.add_argument("--category", default="upper_body",
+                   choices=["upper_body", "lower_body", "dresses"],
+                   help="DressCode category (reference: inference_dc.py)")
     p.add_argument("--output_dir", default="result")
     p.add_argument("--pretrained", default=None,
                    help="orbax checkpoint dir (or diffusers dir with --diffusers)")
@@ -74,9 +78,15 @@ def main(argv=None):
         os.path.join(tok_dir, "tokenizer") if tok_dir else None,
         os.path.join(tok_dir, "tokenizer_2") if tok_dir else None)
 
-    ds = VitonHDDataset(args.data_dir, phase="test",
-                        order="unpaired" if args.unpaired else "paired",
-                        size=(args.height, args.width))
+    order = "unpaired" if args.unpaired else "paired"
+    if args.dataset == "dresscode":
+        from idmvton_tpu.data.dresscode import DressCodeDataset
+        ds = DressCodeDataset(args.data_dir, category=args.category,
+                              phase="test", order=order,
+                              size=(args.height, args.width))
+    else:
+        ds = VitonHDDataset(args.data_dir, phase="test", order=order,
+                            size=(args.height, args.width))
     loader = BatchLoader(ds, args.test_batch_size)
     os.makedirs(args.output_dir, exist_ok=True)
 
