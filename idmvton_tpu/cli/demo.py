@@ -1,0 +1,220 @@
+"""Interactive try-on demo server (reference: gradio_demo/app.py).
+
+A dependency-free HTTP server (stdlib http.server) with an HTML upload form —
+the TPU-image equivalent of the reference's Gradio UI. Implements the
+start_tryon flow (app.py:126-234): optional 3:4 auto-crop, auto-masking via
+OpenPose + SCHP -> get_mask_location, DensePose conditioning, fixed prompt
+templates, CFG 2.0 at 768x1024.
+
+Usage:
+  python -m idmvton_tpu.cli.demo [--port 7860] [--tiny] [--pretrained DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+
+import numpy as np
+from PIL import Image
+
+_PAGE = """<!doctype html>
+<html><head><title>idmvton_tpu try-on</title></head>
+<body style="font-family: sans-serif; max-width: 640px; margin: 2em auto;">
+<h2>idmvton_tpu — virtual try-on</h2>
+<form method="post" action="/tryon" enctype="multipart/form-data">
+  <p>Person photo: <input type="file" name="person" required></p>
+  <p>Garment photo: <input type="file" name="garment" required></p>
+  <p>Garment description: <input type="text" name="desc" value="shirt"></p>
+  <p><label><input type="checkbox" name="auto_mask" checked> auto mask</label>
+     <label><input type="checkbox" name="auto_crop"> auto crop 3:4</label></p>
+  <p>Steps: <input type="number" name="steps" value="30" min="20" max="40">
+     Seed: <input type="number" name="seed" value="42"></p>
+  <p><input type="submit" value="Try on"></p>
+</form></body></html>"""
+
+
+class TryonService:
+    """Holds the models + jitted programs; thread-safe single-flight."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+        from idmvton_tpu.core.config import SchedulerConfig
+        from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+        from idmvton_tpu.pipeline.tryon import TryonModels, TryonPipeline
+        from idmvton_tpu.data.tokenizer import load_tokenizers
+        from idmvton_tpu.preprocess.openpose import OpenPose
+        from idmvton_tpu.preprocess.schp import Parsing
+        from idmvton_tpu.preprocess.densepose.visualize import DensePose
+
+        self.jnp = jnp
+        self.jax = jax
+        self.args = args
+        self.dtype = jnp.bfloat16 if not args.tiny else jnp.float32
+        self.size = (args.width, args.height)
+        if args.pretrained:
+            from idmvton_tpu.weights.checkpoint import load_pipeline
+            self.models = load_pipeline(args.pretrained, self.dtype)
+        else:
+            self.models = TryonModels.init(jax.random.PRNGKey(0),
+                                           tiny=args.tiny, dtype=self.dtype)
+        self.pipe = TryonPipeline(self.models,
+                                  DDPMScheduler(SchedulerConfig.sdxl_inference()))
+        self.tok1, self.tok2 = load_tokenizers(args.tokenizer_dir,
+                                               args.tokenizer_dir)
+        self.openpose = OpenPose()
+        self.parsing = Parsing()
+        self.densepose = DensePose()
+        self.lock = threading.Lock()
+        self._gens = {}
+
+    def _gen(self, steps: int):
+        if steps not in self._gens:
+            self._gens[steps] = self.pipe.jit_generate(
+                num_steps=steps, guidance_scale=2.0)
+        return self._gens[steps]
+
+    @staticmethod
+    def auto_crop_3_4(img: Image.Image):
+        """3:4 center crop (reference: app.py:135-145). Returns (crop, box)."""
+        w, h = img.size
+        target_w = int(min(w, h * 3 / 4))
+        left = (w - target_w) // 2
+        return img.crop((left, 0, left + target_w, h)), (left, 0, left + target_w, h)
+
+    def tryon(self, person: Image.Image, garment: Image.Image, desc: str,
+              *, auto_mask: bool = True, auto_crop: bool = False,
+              mask_image: Image.Image = None, steps: int = 30,
+              seed: int = 42) -> Image.Image:
+        jnp, jax = self.jnp, self.jax
+        from idmvton_tpu.data.image import (
+            normalize_pm1, clip_preprocess, load_mask, denormalize_to_uint8,
+        )
+        from idmvton_tpu.preprocess.agnostic_mask import get_mask_location
+
+        person = person.convert("RGB")
+        garment = garment.convert("RGB")
+        crop_box = None
+        original = person
+        if auto_crop:
+            person, crop_box = self.auto_crop_3_4(person)
+        w, h = self.size
+        person_resized = person.resize((w, h))
+
+        if auto_mask or mask_image is None:
+            small = np.asarray(person.resize((384, 512)))
+            keypoints = self.openpose(small)
+            parse, _ = self.parsing(small)
+            mask_pil, _ = get_mask_location("hd", "upper_body", parse,
+                                            keypoints)
+            mask = load_mask(mask_pil, (w, h))
+        else:
+            mask = load_mask(mask_image, (w, h))
+
+        pose_rgb = self.densepose(np.asarray(person_resized))
+        dtype = self.dtype
+        caption = "model is wearing " + desc
+        caption_cloth = "a photo of " + desc
+        negative = "monochrome, lowres, bad anatomy, worst quality, low quality"
+        isz = self.models.vision_cfg.image_size
+        ip = clip_preprocess(garment)
+        if ip.shape[0] != isz:
+            ip = np.asarray(jax.image.resize(jnp.asarray(ip), (isz, isz, 3),
+                                             "bilinear"))
+        inputs = dict(
+            person=jnp.asarray(normalize_pm1(person, (w, h))[None], dtype),
+            mask=jnp.asarray(mask[None], dtype),
+            pose=jnp.asarray((pose_rgb.astype(np.float32) / 127.5 - 1)[None],
+                             dtype),
+            cloth=jnp.asarray(normalize_pm1(garment, (w, h))[None], dtype),
+            ip_pixels=jnp.asarray(ip[None], dtype),
+            prompt_ids_l=jnp.asarray(self.tok1([caption])),
+            prompt_ids_g=jnp.asarray(self.tok2([caption])),
+            neg_ids_l=jnp.asarray(self.tok1([negative])),
+            neg_ids_g=jnp.asarray(self.tok2([negative])),
+            cloth_ids_l=jnp.asarray(self.tok1([caption_cloth])),
+            cloth_ids_g=jnp.asarray(self.tok2([caption_cloth])),
+        )
+        with self.lock:
+            images = self._gen(steps)(self.models.params(),
+                                      jax.random.PRNGKey(seed), **inputs)
+        out = Image.fromarray(denormalize_to_uint8(np.asarray(images))[0])
+        if crop_box is not None:
+            out = out.resize((crop_box[2] - crop_box[0],
+                              crop_box[3] - crop_box[1]))
+            full = original.copy()
+            full.paste(out, (crop_box[0], crop_box[1]))
+            return full
+        return out
+
+
+def make_handler(service: TryonService):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(_PAGE.encode())
+
+        def do_POST(self):
+            import cgi  # noqa: F401 — stdlib multipart parsing below
+            from email.parser import BytesParser
+            from email.policy import default as email_default
+            length = int(self.headers["Content-Length"])
+            ctype = self.headers["Content-Type"]
+            body = (b"Content-Type: " + ctype.encode() + b"\r\n\r\n"
+                    + self.rfile.read(length))
+            msg = BytesParser(policy=email_default).parsebytes(body)
+            fields = {}
+            for part in msg.iter_parts():
+                name = part.get_param("name", header="content-disposition")
+                payload = part.get_payload(decode=True)
+                fields[name] = payload
+            try:
+                person = Image.open(io.BytesIO(fields["person"]))
+                garment = Image.open(io.BytesIO(fields["garment"]))
+                desc = (fields.get("desc") or b"shirt").decode()
+                out = service.tryon(
+                    person, garment, desc,
+                    auto_mask="auto_mask" in fields,
+                    auto_crop="auto_crop" in fields,
+                    steps=int(fields.get("steps", b"30")),
+                    seed=int(fields.get("seed", b"42")))
+                buf = io.BytesIO()
+                out.save(buf, "PNG")
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.end_headers()
+                self.wfile.write(buf.getvalue())
+            except Exception as e:  # surface errors to the browser
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+    service = TryonService(args)
+    from http.server import ThreadingHTTPServer
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    print(f"serving on http://0.0.0.0:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
