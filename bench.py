@@ -127,31 +127,48 @@ def main():
     unet_params = {"unet": params["unet"], "garm": params["garm"]}
     vae_params = {"vae": params["vae"]}
 
-    ts = sched.timesteps(STEPS)
-    prev_ts = sched.prev_timesteps(ts, STEPS)
+    import numpy as np
+    ts = np.asarray(sched.timesteps(STEPS))
+    prev_ts = np.asarray(sched.prev_timesteps(sched.timesteps(STEPS), STEPS))
 
-    def run(rng):
-        r_enc, r_init, r_steps = jax.random.split(rng, 3)
-        cond = encode(enc_params, r_enc, inputs)
-        lat = jax.random.normal(r_init, (b, lat_h, lat_w, 4), jnp.float32).astype(dtype)
+    # ---- encode: compile, then time one clean pass, then FREE the encoder
+    # towers (~2.8 GB) so the 10.3 GB dual-UNet phase fits in 16 GB HBM
+    r_enc = jax.random.PRNGKey(9)
+    t0 = time.time()
+    cond = jax.block_until_ready(encode(enc_params, r_enc, inputs))
+    log(f"encode compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    cond = jax.block_until_ready(encode(enc_params, r_enc, inputs))
+    t_encode = time.time() - t0
+    log(f"encode: {t_encode:.2f}s")
+    if not TINY:
+        for name in ("clip_l", "clip_g", "vision", "resampler"):
+            for leaf in jax.tree_util.tree_leaves(params[name]):
+                leaf.delete()
+
+    def run_denoise_decode(rng):
+        r_init, r_steps = jax.random.split(rng)
+        lat = jax.random.normal(r_init, (b, lat_h, lat_w, 4),
+                                jnp.float32).astype(dtype)
         step_rngs = jax.random.split(r_steps, STEPS)
         for i in range(STEPS):
-            lat = step(unet_params, cond, lat, ts[i], prev_ts[i], step_rngs[i])
+            lat = step(unet_params, cond, lat, jnp.int32(ts[i]),
+                       jnp.int32(prev_ts[i]), step_rngs[i])
         img = decode(vae_params, lat)
         jax.block_until_ready(img)
         return img
 
     t0 = time.time()
-    run(jax.random.PRNGKey(10))
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    run_denoise_decode(jax.random.PRNGKey(10))
+    log(f"denoise+decode compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for i in range(REPS):
         t0 = time.time()
-        run(jax.random.PRNGKey(11 + i))
+        run_denoise_decode(jax.random.PRNGKey(11 + i))
         times.append(time.time() - t0)
 
-    best = min(times)
+    best = min(times) + t_encode
     img_per_sec = b / best
     result = {
         "metric": f"tryon_images_per_sec_per_chip_{img_w}x{img_h}_{STEPS}steps_cfg2_b{b}",
