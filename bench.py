@@ -10,13 +10,12 @@ point is the BASELINE.json north star "A100-class images/sec/chip". A100
 SDXL-inpainting with a second full UNet forward per step at fp16/batch 2 runs
 ~4 s/image (~0.25 img/s) — used as the denominator.
 
-Structure:
-- staged (encode -> denoise -> decode) so encoder tower weights can drop out
-  of HBM before the 10.3 GB dual-UNet denoise phase (16 GB v5e);
-- the denoise STEP is jitted and python-looped (dispatch overhead is
-  negligible at ~0.5 s/step; compiling the full 30-step scan through the
-  remote-compile tunnel takes tens of minutes vs ~2 min for the step);
-- params come from the fused flat-buffer initializer (utils/fast_init.py).
+The whole stack is ~6.7B params = 13.5 GB bf16 vs 16 GB v5e HBM, so the bench
+runs phase-at-a-time: init each encoder tower, run its stage, free it —
+text -> vision/resampler -> VAE encodes -> dual-UNet denoise -> VAE decode.
+The denoise STEP is jitted and python-looped (compiling the full 30-step scan
+through the remote-compile tunnel takes tens of minutes vs ~2 min for the
+step; dispatch overhead is negligible at ~0.5 s/step).
 """
 
 import json
@@ -32,6 +31,7 @@ if os.environ.get("BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,128 +48,204 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def free(tree):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        leaf.delete()
+
+
 def main():
     from idmvton_tpu.core.config import (
         SchedulerConfig, UNetConfig, VAEConfig, CLIPTextConfig,
         CLIPVisionConfig, ResamplerConfig,
     )
-    from idmvton_tpu.diffusion.scheduler import DDPMScheduler
-    from idmvton_tpu.models.unet import init_unet
-    from idmvton_tpu.models.vae import init_vae
-    from idmvton_tpu.models.clip import init_clip_text, init_clip_vision
-    from idmvton_tpu.models.resampler import init_resampler
-    from idmvton_tpu.pipeline.tryon import TryonModels, TryonPipeline
+    from idmvton_tpu.diffusion.scheduler import DDPMScheduler, classifier_free_guidance
+    from idmvton_tpu.models.unet import init_unet, unet_apply
+    from idmvton_tpu.models.vae import init_vae, vae_encode, vae_decode
+    from idmvton_tpu.models.clip import (
+        init_clip_text, clip_text_apply, init_clip_vision, clip_vision_apply,
+    )
+    from idmvton_tpu.models.resampler import init_resampler, resampler_apply
     from idmvton_tpu.utils.fast_init import fast_random_params
 
     dtype = jnp.bfloat16
     if TINY:
         b, img_h, img_w = 2, 64, 64
-        models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=dtype)
-        params = models.params()
+        unet_cfg, garm_cfg = UNetConfig.tiny("consume"), UNetConfig.tiny("emit")
+        vae_cfg = VAEConfig.tiny()
+        clip_l_cfg = CLIPTextConfig.tiny()
+        clip_g_cfg = CLIPTextConfig.tiny(hidden_size=32, projection_dim=64,
+                                         use_final_projection=True)
+        vision_cfg, rs_cfg = CLIPVisionConfig.tiny(), ResamplerConfig.tiny()
+        seq = 7
     else:
         b, img_h, img_w = BATCH, 1024, 768
-        cfgs = dict(
-            unet_cfg=UNetConfig.sdxl_tryon(), garm_cfg=UNetConfig.sdxl_garment(),
-            vae_cfg=VAEConfig.sdxl(), clip_l_cfg=CLIPTextConfig.clip_l(),
-            clip_g_cfg=CLIPTextConfig.clip_bigg(),
-            vision_cfg=CLIPVisionConfig.vit_h(),
-            resampler_cfg=ResamplerConfig.sdxl_plus(),
-        )
-        inits = dict(
-            unet=lambda k: init_unet(k, cfgs["unet_cfg"], dtype=dtype),
-            garm=lambda k: init_unet(k, cfgs["garm_cfg"], dtype=dtype),
-            vae=lambda k: init_vae(k, cfgs["vae_cfg"], dtype=dtype),
-            clip_l=lambda k: init_clip_text(k, cfgs["clip_l_cfg"], dtype=dtype),
-            clip_g=lambda k: init_clip_text(k, cfgs["clip_g_cfg"], dtype=dtype),
-            vision=lambda k: init_clip_vision(k, cfgs["vision_cfg"], dtype=dtype),
-            resampler=lambda k: init_resampler(k, cfgs["resampler_cfg"], dtype=dtype),
-        )
-        key = jax.random.PRNGKey(0)
-        keys = dict(zip(inits, jax.random.split(key, len(inits))))
-        params = {}
-        for name, fn in inits.items():
-            t0 = time.time()
-            params[name] = fast_random_params(keys[name], fn)
-            jax.block_until_ready(params[name])
-            log(f"init {name}: {time.time() - t0:.1f}s")
-        models = TryonModels(**cfgs, **params)
+        unet_cfg, garm_cfg = UNetConfig.sdxl_tryon(), UNetConfig.sdxl_garment()
+        vae_cfg = VAEConfig.sdxl()
+        clip_l_cfg, clip_g_cfg = CLIPTextConfig.clip_l(), CLIPTextConfig.clip_bigg()
+        vision_cfg, rs_cfg = CLIPVisionConfig.vit_h(), ResamplerConfig.sdxl_plus()
+        seq = 77
 
-    lat_h, lat_w = img_h // 8, img_w // 8
+    lat_h, lat_w = img_h // vae_cfg.downscale, img_w // vae_cfg.downscale
     sched = DDPMScheduler(SchedulerConfig.sdxl_inference())
-    pipe = TryonPipeline(models, sched)
+
+    def finit(fn, seed):
+        t0 = time.time()
+        p = fast_random_params(jax.random.PRNGKey(seed), fn)
+        jax.block_until_ready(p)
+        log(f"  init {time.time() - t0:.1f}s")
+        return p
 
     ks = jax.random.split(jax.random.PRNGKey(1), 9)
-    vocab = models.clip_l_cfg.vocab_size
-    isz = models.vision_cfg.image_size
-    seq = 77 if not TINY else 7
-    inputs = dict(
-        person=jax.random.uniform(ks[0], (b, img_h, img_w, 3), dtype, -1, 1),
-        pose=jax.random.uniform(ks[1], (b, img_h, img_w, 3), dtype, -1, 1),
-        cloth=jax.random.uniform(ks[2], (b, img_h, img_w, 3), dtype, -1, 1),
-        mask=(jax.random.uniform(ks[3], (b, img_h, img_w, 1)) > 0.5).astype(dtype),
-        prompt_ids_l=jax.random.randint(ks[4], (b, seq), 0, vocab),
-        prompt_ids_g=jax.random.randint(ks[4], (b, seq), 0, vocab),
-        neg_ids_l=jax.random.randint(ks[5], (b, seq), 0, vocab),
-        neg_ids_g=jax.random.randint(ks[5], (b, seq), 0, vocab),
-        cloth_ids_l=jax.random.randint(ks[6], (b, seq), 0, vocab),
-        cloth_ids_g=jax.random.randint(ks[6], (b, seq), 0, vocab),
-        ip_pixels=jax.random.uniform(ks[7], (b, isz, isz, 3), dtype, -1, 1),
-    )
+    vocab = clip_l_cfg.vocab_size
+    isz = vision_cfg.image_size
+    person = jax.random.uniform(ks[0], (b, img_h, img_w, 3), dtype, -1, 1)
+    pose = jax.random.uniform(ks[1], (b, img_h, img_w, 3), dtype, -1, 1)
+    cloth = jax.random.uniform(ks[2], (b, img_h, img_w, 3), dtype, -1, 1)
+    mask = (jax.random.uniform(ks[3], (b, img_h, img_w, 1)) > 0.5).astype(dtype)
+    ids = lambda k: jax.random.randint(ks[k], (3 * b, seq), 0, vocab)
+    ip_pixels = jax.random.uniform(ks[7], (b, isz, isz, 3), dtype, -1, 1)
 
-    encode = pipe.staged_encoder()
-    step = jax.jit(
-        lambda p, cond, lat, t, pt, r: pipe.denoise_step(
-            p, cond, lat, t, pt, r, guidance_scale=2.0, impl=IMPL))
-    decode = jax.jit(lambda p, lat: pipe.decode(p, lat))
+    t_encode = 0.0
 
-    enc_params = {k: params[k]
-                  for k in ("clip_l", "clip_g", "vision", "resampler", "vae")}
-    unet_params = {"unet": params["unet"], "garm": params["garm"]}
-    vae_params = {"vae": params["vae"]}
+    # ---- phase 1: text towers (prompt / negative / cloth batched to 3B)
+    log("phase text")
+    p_l = finit(lambda k: init_clip_text(k, clip_l_cfg, dtype=dtype), 10)
+    p_g = finit(lambda k: init_clip_text(k, clip_g_cfg, dtype=dtype), 11)
 
-    import numpy as np
+    @jax.jit
+    def text_fn(pl, pg, ids_l, ids_g):
+        out_l = clip_text_apply(pl, clip_l_cfg, ids_l)
+        out_g = clip_text_apply(pg, clip_g_cfg, ids_g)
+        return (jnp.concatenate([out_l["penultimate"], out_g["penultimate"]],
+                                axis=-1), out_g["pooled"])
+
+    ids_l, ids_g = ids(4), ids(4)
+    jax.block_until_ready(text_fn(p_l, p_g, ids_l, ids_g))  # compile
+    t0 = time.time()
+    embeds, pooled = jax.block_until_ready(text_fn(p_l, p_g, ids_l, ids_g))
+    t_encode += time.time() - t0
+    prompt_embeds, neg_embeds, cloth_embeds = jnp.split(embeds, 3)
+    pooled_p, pooled_n, _ = jnp.split(pooled, 3)
+    if not TINY:
+        free((p_l, p_g))
+    log(f"  text {t_encode:.2f}s")
+
+    # ---- phase 2: vision + resampler (uncond zeros + cond batched to 2B)
+    log("phase vision")
+    p_v = finit(lambda k: init_clip_vision(k, vision_cfg, dtype=dtype), 12)
+    p_r = finit(lambda k: init_resampler(k, rs_cfg, dtype=dtype), 13)
+
+    @jax.jit
+    def vis_fn(pv, pr, px):
+        vis = clip_vision_apply(pv, vision_cfg, px)
+        return resampler_apply(pr, rs_cfg, vis["penultimate"])
+
+    px2 = jnp.concatenate([jnp.zeros_like(ip_pixels), ip_pixels], axis=0)
+    jax.block_until_ready(vis_fn(p_v, p_r, px2))
+    t0 = time.time()
+    ip_tokens = jax.block_until_ready(vis_fn(p_v, p_r, px2))
+    t_encode += time.time() - t0
+    ip_uncond, ip_cond = jnp.split(ip_tokens, 2)
+    if not TINY:
+        free((p_v, p_r))
+    log(f"  vision done (cum encode {t_encode:.2f}s)")
+
+    # ---- phase 3: VAE encodes (masked person / pose / cloth batched to 3B)
+    log("phase vae")
+    p_vae = finit(lambda k: init_vae(k, vae_cfg, dtype=dtype), 14)
+
+    @jax.jit
+    def vae_fn(p, imgs, rng):
+        return vae_encode(p, vae_cfg, imgs, rng=rng)
+
+    masked_person = person * (mask < 0.5).astype(dtype)
+    imgs3 = jnp.concatenate([masked_person, pose, cloth], axis=0)
+    jax.block_until_ready(vae_fn(p_vae, imgs3, ks[8]))
+    t0 = time.time()
+    lats = jax.block_until_ready(vae_fn(p_vae, imgs3, ks[8]))
+    t_encode += time.time() - t0
+    masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
+    mask_lat = jax.image.resize(mask, (b, lat_h, lat_w, 1), "nearest")
+    log(f"  vae done (cum encode {t_encode:.2f}s)")
+
+    cond = {
+        "context": jnp.concatenate([
+            jnp.concatenate([neg_embeds, ip_uncond], axis=1),
+            jnp.concatenate([prompt_embeds, ip_cond], axis=1)], axis=0),
+        "add_text_embeds": jnp.concatenate([pooled_n, pooled_p], axis=0),
+        "time_ids": jnp.tile(jnp.asarray(
+            [img_h, img_w, 0, 0, img_h, img_w], dtype)[None], (2 * b, 1)),
+        "mask_2b": jnp.concatenate([mask_lat] * 2, axis=0),
+        "masked_2b": jnp.concatenate([masked_lat] * 2, axis=0),
+        "pose_2b": jnp.concatenate([pose_lat] * 2, axis=0),
+        "cloth_lat": cloth_lat,
+        "cloth_embeds": cloth_embeds,
+    }
+    cond = jax.block_until_ready(cond)
+
+    # ---- phase 4: dual-UNet denoise
+    log("phase unets")
+    p_unet = finit(lambda k: init_unet(k, unet_cfg, dtype=dtype), 15)
+    p_garm = finit(lambda k: init_unet(k, garm_cfg, dtype=dtype), 16)
+
+    guidance = 2.0
+
+    @jax.jit
+    def step_fn(pu, pg, cond, lat, t, prev_t, rng):
+        _, feats = unet_apply(pg, garm_cfg, cond["cloth_lat"], t,
+                              cond["cloth_embeds"], impl=IMPL)
+        feats_cfg = tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0)
+                          for f in feats)
+        unet_in = jnp.concatenate(
+            [jnp.concatenate([lat] * 2, axis=0), cond["mask_2b"],
+             cond["masked_2b"], cond["pose_2b"]], axis=-1)
+        pred, _ = unet_apply(pu, unet_cfg, unet_in, t, cond["context"],
+                             added_cond=(cond["add_text_embeds"],
+                                         cond["time_ids"]),
+                             garment_features=feats_cfg, impl=IMPL)
+        uncond, condp = jnp.split(pred, 2, axis=0)
+        guided = classifier_free_guidance(uncond, condp, guidance)
+        noise = jax.random.normal(rng, lat.shape, jnp.float32).astype(lat.dtype)
+        new_lat, _ = sched.step(guided, t, prev_t, lat, noise)
+        return new_lat
+
     ts = np.asarray(sched.timesteps(STEPS))
     prev_ts = np.asarray(sched.prev_timesteps(sched.timesteps(STEPS), STEPS))
 
-    # ---- encode: compile, then time one clean pass, then FREE the encoder
-    # towers (~2.8 GB) so the 10.3 GB dual-UNet phase fits in 16 GB HBM
-    r_enc = jax.random.PRNGKey(9)
-    t0 = time.time()
-    cond = jax.block_until_ready(encode(enc_params, r_enc, inputs))
-    log(f"encode compile+run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    cond = jax.block_until_ready(encode(enc_params, r_enc, inputs))
-    t_encode = time.time() - t0
-    log(f"encode: {t_encode:.2f}s")
-    if not TINY:
-        for name in ("clip_l", "clip_g", "vision", "resampler"):
-            for leaf in jax.tree_util.tree_leaves(params[name]):
-                leaf.delete()
-
-    def run_denoise_decode(rng):
+    def denoise(rng):
         r_init, r_steps = jax.random.split(rng)
-        lat = jax.random.normal(r_init, (b, lat_h, lat_w, 4),
+        lat = jax.random.normal(r_init, (b, lat_h, lat_w, vae_cfg.latent_channels),
                                 jnp.float32).astype(dtype)
         step_rngs = jax.random.split(r_steps, STEPS)
         for i in range(STEPS):
-            lat = step(unet_params, cond, lat, jnp.int32(ts[i]),
-                       jnp.int32(prev_ts[i]), step_rngs[i])
-        img = decode(vae_params, lat)
-        jax.block_until_ready(img)
-        return img
+            lat = step_fn(p_unet, p_garm, cond, lat, jnp.int32(ts[i]),
+                          jnp.int32(prev_ts[i]), step_rngs[i])
+        return jax.block_until_ready(lat)
 
     t0 = time.time()
-    run_denoise_decode(jax.random.PRNGKey(10))
-    log(f"denoise+decode compile+first run: {time.time() - t0:.1f}s")
+    lat = denoise(jax.random.PRNGKey(20))
+    log(f"  denoise compile+run {time.time() - t0:.1f}s")
 
-    times = []
+    denoise_times = []
     for i in range(REPS):
         t0 = time.time()
-        run_denoise_decode(jax.random.PRNGKey(11 + i))
-        times.append(time.time() - t0)
+        lat = denoise(jax.random.PRNGKey(21 + i))
+        denoise_times.append(time.time() - t0)
+    log(f"  denoise times {['%.2f' % t for t in denoise_times]}")
 
-    best = min(times) + t_encode
-    img_per_sec = b / best
+    # ---- phase 5: decode
+    @jax.jit
+    def decode_fn(p, lat):
+        return jnp.clip(vae_decode(p, vae_cfg, lat), -1, 1)
+
+    jax.block_until_ready(decode_fn(p_vae, lat))
+    t0 = time.time()
+    img = jax.block_until_ready(decode_fn(p_vae, lat))
+    t_decode = time.time() - t0
+    log(f"  decode {t_decode:.2f}s; output {img.shape}")
+
+    total = t_encode + min(denoise_times) + t_decode
+    img_per_sec = b / total
     result = {
         "metric": f"tryon_images_per_sec_per_chip_{img_w}x{img_h}_{STEPS}steps_cfg2_b{b}",
         "value": round(img_per_sec, 4),
@@ -177,7 +253,8 @@ def main():
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
     }
     print(json.dumps(result))
-    log(f"# times {['%.2f' % t for t in times]}; sec/img {best / b:.2f}; "
+    log(f"# encode {t_encode:.2f}s denoise {min(denoise_times):.2f}s "
+        f"decode {t_decode:.2f}s; sec/img {total / b:.2f}; "
         f"backend {jax.default_backend()}")
 
 
