@@ -18,6 +18,7 @@ through the remote-compile tunnel takes tens of minutes vs ~2 min for the
 step; dispatch overhead is negligible at ~0.5 s/step).
 """
 
+import functools
 import json
 import os
 import sys
@@ -162,7 +163,8 @@ def main():
     imgs3 = jnp.concatenate([masked_person, pose, cloth], axis=0)
     jax.block_until_ready(vae_fn(p_vae, imgs3, ks[8]))
     t0 = time.time()
-    lats = jax.block_until_ready(vae_fn(p_vae, imgs3, ks[8]))
+    # fresh rng so the timed call can't be deduped against the warmup
+    lats = jax.block_until_ready(vae_fn(p_vae, imgs3, jax.random.PRNGKey(99)))
     t_encode += time.time() - t0
     masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
     mask_lat = jax.image.resize(mask, (b, lat_h, lat_w, 1), "nearest")
@@ -190,7 +192,10 @@ def main():
 
     guidance = 2.0
 
-    @jax.jit
+    # donate lat: steps chain in-place; per-step sync below keeps at most one
+    # step's workspace live (async dispatch of several ~3GB-workspace steps
+    # over the tunnel OOMs 16GB HBM next to 10.3GB of weights)
+    @functools.partial(jax.jit, donate_argnums=(3,))
     def step_fn(pu, pg, cond, lat, t, prev_t, rng):
         _, feats = unet_apply(pg, garm_cfg, cond["cloth_lat"], t,
                               cond["cloth_embeds"], impl=IMPL)
@@ -220,7 +225,8 @@ def main():
         for i in range(STEPS):
             lat = step_fn(p_unet, p_garm, cond, lat, jnp.int32(ts[i]),
                           jnp.int32(prev_ts[i]), step_rngs[i])
-        return jax.block_until_ready(lat)
+            lat.block_until_ready()
+        return lat
 
     t0 = time.time()
     lat = denoise(jax.random.PRNGKey(20))
@@ -233,7 +239,11 @@ def main():
         denoise_times.append(time.time() - t0)
     log(f"  denoise times {['%.2f' % t for t in denoise_times]}")
 
-    # ---- phase 5: decode
+    # ---- phase 5: decode (UNets freed first: fp32 decode activations at
+    # 768x1024 don't fit next to 10.3 GB of UNet weights)
+    if not TINY:
+        free((p_unet, p_garm))
+
     @jax.jit
     def decode_fn(p, lat):
         return jnp.clip(vae_decode(p, vae_cfg, lat), -1, 1)

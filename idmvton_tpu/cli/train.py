@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--logging_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--resume_from_checkpoint", default=None,
+                   help="train-state dir written by --state_dir")
+    p.add_argument("--state_dir", default=None,
+                   help="where to save resumable train state (default: "
+                        "output_dir/state)")
     return p.parse_args(argv)
 
 
@@ -57,7 +62,10 @@ def main(argv=None):
     from idmvton_tpu.parallel.mesh import make_mesh, shard_batch, replicated
     from idmvton_tpu.data.datasets import VitonHDDataset, BatchLoader
     from idmvton_tpu.data.tokenizer import load_tokenizers
-    from idmvton_tpu.weights.checkpoint import save_pipeline, load_pipeline, from_diffusers
+    from idmvton_tpu.weights.checkpoint import (
+        save_pipeline, load_pipeline, from_diffusers,
+        save_train_state, load_train_state, latest_train_state_step,
+    )
 
     if args.pretrained and args.diffusers:
         models = from_diffusers(args.pretrained, dtype)
@@ -74,6 +82,13 @@ def main(argv=None):
                                       snr_gamma=args.snr_gamma,
                                       compute_dtype=dtype,
                                       remat=not args.no_remat))
+
+    state_dir = args.state_dir or os.path.join(args.output_dir, "state")
+    if args.resume_from_checkpoint:
+        step0 = latest_train_state_step(args.resume_from_checkpoint)
+        if step0 is not None:
+            state = load_train_state(args.resume_from_checkpoint, state)
+            print(f"resumed from {args.resume_from_checkpoint} step {step0}")
 
     mesh = make_mesh()
     n_dev = len(jax.devices())
@@ -92,7 +107,7 @@ def main(argv=None):
                          seed=args.seed)
 
     rng = jax.random.PRNGKey(args.seed)
-    gstep = 0
+    gstep = int(state.step)
     t0 = time.time()
     for epoch in range(args.num_train_epochs):
         for batch in loader:
@@ -128,7 +143,8 @@ def main(argv=None):
                         lambda x: x.astype(dtype), state.trainable["resampler"]),
                 })
                 save_pipeline(out, trained)
-                print(f"checkpoint -> {out}")
+                save_train_state(state_dir, state)
+                print(f"checkpoint -> {out} (+ train state {state_dir})")
             if args.max_steps and gstep >= args.max_steps:
                 return
 

@@ -64,6 +64,51 @@ def load_pipeline(path: str, dtype=jnp.bfloat16) -> TryonModels:
     return TryonModels(**kw, **params)
 
 
+def save_train_state(path: str, state, *, keep: int = 3):
+    """Save TrainState (trainable params + optimizer state + step) with
+    orbax. The reference's --resume_from_checkpoint flag is dead code
+    (train_xl.py:259,469 initial_global_step hard-coded 0); here resume is
+    real."""
+    import orbax.checkpoint as ocp
+    os.makedirs(path, exist_ok=True)
+    step = int(state.step)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), f"state_{step}"),
+               {"step": state.step, "trainable": state.trainable,
+                "opt_state": state.opt_state}, force=True)
+    # prune old checkpoints
+    entries = sorted(
+        (d for d in os.listdir(path) if d.startswith("state_")),
+        key=lambda d: int(d.split("_")[1]))
+    for d in entries[:-keep]:
+        import shutil
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def latest_train_state_step(path: str) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    steps = [int(d.split("_")[1]) for d in os.listdir(path)
+             if d.startswith("state_")]
+    return max(steps) if steps else None
+
+
+def load_train_state(path: str, template, step: Optional[int] = None):
+    """Restore a TrainState saved by save_train_state. ``template`` is an
+    abstract/concrete TrainState with the target structure."""
+    import orbax.checkpoint as ocp
+    from idmvton_tpu.train.train_step import TrainState
+    step = step if step is not None else latest_train_state_step(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(os.path.abspath(path), f"state_{step}"),
+        item={"step": template.step, "trainable": template.trainable,
+              "opt_state": template.opt_state})
+    return TrainState(step=jnp.asarray(restored["step"]),
+                      trainable=restored["trainable"],
+                      opt_state=restored["opt_state"])
+
+
 def _find_weights(subdir: str) -> Optional[str]:
     for pattern in ("*.safetensors", "*.bin", "*.pth", "*.pt"):
         hits = sorted(glob.glob(os.path.join(subdir, pattern)))

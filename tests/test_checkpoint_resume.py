@@ -1,0 +1,60 @@
+"""Train-state save/resume round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idmvton_tpu.core.config import SchedulerConfig
+from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+from idmvton_tpu.pipeline.tryon import TryonModels
+from idmvton_tpu.train.train_step import (
+    make_optimizer, init_train_state, make_train_step,
+)
+from idmvton_tpu.weights.checkpoint import (
+    save_train_state, load_train_state, latest_train_state_step,
+)
+from tests.test_train import _batch
+
+
+def test_train_state_resume_roundtrip(tmp_path):
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True,
+                              dtype=jnp.float32)
+    sched = DDPMScheduler(SchedulerConfig.train())
+    tx = make_optimizer(learning_rate=1e-4)
+    state = init_train_state(models, tx)
+    step = jax.jit(make_train_step(models, sched, tx,
+                                   compute_dtype=jnp.float32))
+    batch = _batch(2, 32, 32, models)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    path = str(tmp_path / "state")
+    save_train_state(path, state)
+    assert latest_train_state_step(path) == 1
+
+    template = init_train_state(models, tx)
+    restored = load_train_state(path, template)
+    assert int(restored.step) == 1
+    a = jax.tree_util.tree_leaves(state.trainable)
+    b = jax.tree_util.tree_leaves(restored.trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # resumed state trains onward identically to the uninterrupted run
+    s1, m1 = step(state, batch, jax.random.PRNGKey(2))
+    s2, m2 = step(restored, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    assert int(s2.step) == 2
+
+
+def test_prune_old_states(tmp_path):
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True,
+                              dtype=jnp.float32)
+    tx = make_optimizer()
+    state = init_train_state(models, tx)
+    path = str(tmp_path / "state")
+    import dataclasses
+    for s in range(5):
+        st = dataclasses.replace(state, step=jnp.asarray(s, jnp.int32))
+        save_train_state(path, st, keep=2)
+    import os
+    kept = sorted(os.listdir(path))
+    assert kept == ["state_3", "state_4"]
