@@ -168,19 +168,23 @@ def _unet_schema(cfg: UNetConfig):
             entries.append(("norm", b_our + ("norm1",), b_ref + ".norm1"))
             entries.append(("norm", b_our + ("norm2",), b_ref + ".norm2"))
             entries.append(("norm", b_our + ("norm3",), b_ref + ".norm3"))
-            for a, proj in (("attn1", "to_q"), ("attn1", "to_k"), ("attn1", "to_v"),
-                            ("attn2", "to_q"), ("attn2", "to_k"), ("attn2", "to_v")):
-                entries.append(("linear_nobias", b_our + (a, proj),
-                                f"{b_ref}.{a}.{proj}"))
+            # our projections are GEMM-fused (models/attention.py); the
+            # diffusers layout keeps separate to_q/to_k/to_v
+            entries.append(("linear_fused", b_our + ("attn1", "to_qkv"),
+                            [f"{b_ref}.attn1.to_q", f"{b_ref}.attn1.to_k",
+                             f"{b_ref}.attn1.to_v"]))
+            entries.append(("linear_nobias", b_our + ("attn2", "to_q"),
+                            b_ref + ".attn2.to_q"))
+            entries.append(("linear_fused", b_our + ("attn2", "to_kv"),
+                            [f"{b_ref}.attn2.to_k", f"{b_ref}.attn2.to_v"]))
             entries.append(("linear", b_our + ("attn1", "to_out"),
                             b_ref + ".attn1.to_out.0"))
             entries.append(("linear", b_our + ("attn2", "to_out"),
                             b_ref + ".attn2.to_out.0"))
             if cfg.ip_adapter:
-                entries.append(("linear_nobias", b_our + ("attn2", "to_k_ip"),
-                                b_ref + ".attn2.processor.to_k_ip"))
-                entries.append(("linear_nobias", b_our + ("attn2", "to_v_ip"),
-                                b_ref + ".attn2.processor.to_v_ip"))
+                entries.append(("linear_fused", b_our + ("attn2", "to_kv_ip"),
+                                [f"{b_ref}.attn2.processor.to_k_ip",
+                                 f"{b_ref}.attn2.processor.to_v_ip"]))
             entries.append(("linear", b_our + ("ff", "proj_in"),
                             b_ref + ".ff.net.0.proj"))
             entries.append(("linear", b_our + ("ff", "proj_out"),
@@ -278,6 +282,9 @@ def _build_tree(entries, m: _Mapper, *, conv_in_expand_to: Optional[int] = None)
             val = m.linear(ref)
         elif kind == "linear_nobias":
             val = m.linear(ref, bias=False)
+        elif kind == "linear_fused":
+            ws = [np.asarray(m.take(k + ".weight", _t_lin)) for k in ref]
+            val = {"kernel": jnp.asarray(np.concatenate(ws, axis=1), m.dtype)}
         elif kind == "norm":
             val = m.norm(ref)
         else:
@@ -301,6 +308,11 @@ def export_unet(params: dict, cfg: UNetConfig) -> StateDict:
             e.conv(p, ref)
         elif kind in ("linear", "linear_nobias"):
             e.linear(p, ref)
+        elif kind == "linear_fused":
+            parts = np.split(np.asarray(p["kernel"], np.float32), len(ref),
+                             axis=1)
+            for key, w in zip(ref, parts):
+                e.out[key + ".weight"] = w.T
         else:
             e.norm(p, ref)
     return e.out
