@@ -30,8 +30,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_KV = 512
+import os
+
+# defaults tuned in-graph on v5e (scripts/ab_step.py): large blocks win —
+# grid-step overhead dominates below ~1024x2048 tiles
+DEFAULT_BLOCK_Q = int(os.environ.get("IDMVTON_FLASH_BLOCK_Q", "1024"))
+DEFAULT_BLOCK_KV = int(os.environ.get("IDMVTON_FLASH_BLOCK_KV", "2048"))
+# below this KV length, XLA's materialized attention beats the blockwise
+# kernel's grid overhead (tuned in-graph on v5e)
+XLA_KV_CUTOFF = int(os.environ.get("IDMVTON_FLASH_XLA_CUTOFF", "0"))
 _NEG_INF = -1e30
 _LANE = 128
 
@@ -163,10 +170,19 @@ _flash_attention_core.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, *, scale: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_kv: int = DEFAULT_BLOCK_KV):
+                    block_q: Optional[int] = None,
+                    block_kv: Optional[int] = None):
     """q: (B, Sq, H, D); k/v: (B, Skv, H, D) -> (B, Sq, H, D)."""
+    block_q = block_q or DEFAULT_BLOCK_Q
+    block_kv = block_kv or DEFAULT_BLOCK_KV
     scale = scale if scale is not None else q.shape[-1] ** -0.5
+    if k.shape[1] <= XLA_KV_CUTOFF:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype)
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
@@ -178,8 +194,8 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
 
 def flash_attention_concat_kv(q, k, v, k_ref, v_ref, *,
                               scale: Optional[float] = None,
-                              block_q: int = DEFAULT_BLOCK_Q,
-                              block_kv: int = DEFAULT_BLOCK_KV):
+                              block_q: Optional[int] = None,
+                              block_kv: Optional[int] = None):
     """Garment-concat attention: q against [own KV | reference KV].
 
     The concat is a cheap HBM copy relative to the O(N*2N) attention compute;
