@@ -54,6 +54,13 @@ def free(tree):
         leaf.delete()
 
 
+def sync(tree):
+    """Force completion with a VALUE readback — through the axon relay,
+    block_until_ready returns without blocking, so timings must fetch data."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
+
+
 def main():
     from idmvton_tpu.core.config import (
         SchedulerConfig, UNetConfig, VAEConfig, CLIPTextConfig,
@@ -92,7 +99,7 @@ def main():
     def finit(fn, seed):
         t0 = time.time()
         p = fast_random_params(jax.random.PRNGKey(seed), fn)
-        jax.block_until_ready(p)
+        sync(p)
         log(f"  init {time.time() - t0:.1f}s")
         return p
 
@@ -121,9 +128,10 @@ def main():
                                 axis=-1), out_g["pooled"])
 
     ids_l, ids_g = ids(4), ids(4)
-    jax.block_until_ready(text_fn(p_l, p_g, ids_l, ids_g))  # compile
+    sync(text_fn(p_l, p_g, ids_l, ids_g))  # compile
     t0 = time.time()
-    embeds, pooled = jax.block_until_ready(text_fn(p_l, p_g, ids_l, ids_g))
+    embeds, pooled = text_fn(p_l, p_g, ids_l, ids_g)
+    sync(embeds)
     t_encode += time.time() - t0
     prompt_embeds, neg_embeds, cloth_embeds = jnp.split(embeds, 3)
     pooled_p, pooled_n, _ = jnp.split(pooled, 3)
@@ -142,9 +150,10 @@ def main():
         return resampler_apply(pr, rs_cfg, vis["penultimate"])
 
     px2 = jnp.concatenate([jnp.zeros_like(ip_pixels), ip_pixels], axis=0)
-    jax.block_until_ready(vis_fn(p_v, p_r, px2))
+    sync(vis_fn(p_v, p_r, px2))
     t0 = time.time()
-    ip_tokens = jax.block_until_ready(vis_fn(p_v, p_r, px2))
+    ip_tokens = vis_fn(p_v, p_r, px2)
+    sync(ip_tokens)
     t_encode += time.time() - t0
     ip_uncond, ip_cond = jnp.split(ip_tokens, 2)
     if not TINY:
@@ -161,10 +170,11 @@ def main():
 
     masked_person = person * (mask < 0.5).astype(dtype)
     imgs3 = jnp.concatenate([masked_person, pose, cloth], axis=0)
-    jax.block_until_ready(vae_fn(p_vae, imgs3, ks[8]))
+    sync(vae_fn(p_vae, imgs3, ks[8]))
     t0 = time.time()
     # fresh rng so the timed call can't be deduped against the warmup
-    lats = jax.block_until_ready(vae_fn(p_vae, imgs3, jax.random.PRNGKey(99)))
+    lats = vae_fn(p_vae, imgs3, jax.random.PRNGKey(99))
+    sync(lats)
     t_encode += time.time() - t0
     masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
     mask_lat = jax.image.resize(mask, (b, lat_h, lat_w, 1), "nearest")
@@ -183,7 +193,7 @@ def main():
         "cloth_lat": cloth_lat,
         "cloth_embeds": cloth_embeds,
     }
-    cond = jax.block_until_ready(cond)
+    sync(cond)
 
     # ---- phase 4: dual-UNet denoise
     log("phase unets")
@@ -225,7 +235,7 @@ def main():
         for i in range(STEPS):
             lat = step_fn(p_unet, p_garm, cond, lat, jnp.int32(ts[i]),
                           jnp.int32(prev_ts[i]), step_rngs[i])
-            lat.block_until_ready()
+        sync(lat)  # one readback after the enqueued chain completes
         return lat
 
     t0 = time.time()
@@ -248,9 +258,10 @@ def main():
     def decode_fn(p, lat):
         return jnp.clip(vae_decode(p, vae_cfg, lat), -1, 1)
 
-    jax.block_until_ready(decode_fn(p_vae, lat))
+    sync(decode_fn(p_vae, lat))
     t0 = time.time()
-    img = jax.block_until_ready(decode_fn(p_vae, lat))
+    img = decode_fn(p_vae, lat)
+    sync(img)
     t_decode = time.time() - t0
     log(f"  decode {t_decode:.2f}s; output {img.shape}")
 
