@@ -79,8 +79,10 @@ def self_attention(params, x, *, heads: int,
                    impl: Optional[str] = None):
     """Self-attention; if ``garment_feat`` (B, M, C) is given, keys/values
     span the concat of own and garment tokens. One fused QKV GEMM runs over
-    the concatenated sequence (garment-query results are never computed past
-    the slice — the flash kernel only consumes q[:N])."""
+    the concatenated sequence, and on TPU the flash kernel consumes the GEMM
+    output directly (queries = first N tokens; the reference's doubled-query
+    attention is never computed)."""
+    from idmvton_tpu.ops.dispatch import resolve
     b, s, _ = x.shape
     if garment_feat is not None:
         zin = jnp.concatenate([x, garment_feat.astype(x.dtype)], axis=1)
@@ -88,14 +90,18 @@ def self_attention(params, x, *, heads: int,
         zin = x
     qkv = linear(params["to_qkv"], zin)
     qkv = qkv.reshape(b, zin.shape[1], 3, heads, -1)
-    q = qkv[:, :s, 0]
-    k = qkv[:, :, 1]
-    v = qkv[:, :, 2]
-    if garment_feat is not None:
-        out = concat_kv_attention(q, k[:, :s], v[:, :s], k[:, s:], v[:, s:],
-                                  impl=impl)
+    if resolve(impl) == "pallas":
+        from idmvton_tpu.ops.pallas_attention import flash_attention_fused_qkv
+        out = flash_attention_fused_qkv(qkv, s)
     else:
-        out = sdpa(q, k, v, impl=impl)
+        q = qkv[:, :s, 0]
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        if garment_feat is not None:
+            out = concat_kv_attention(q, k[:, :s], v[:, :s], k[:, s:],
+                                      v[:, s:], impl=impl)
+        else:
+            out = sdpa(q, k, v, impl=impl)
     return linear(params["to_out"], _merge_heads(out))
 
 

@@ -92,33 +92,38 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME"):
 
 def group_norm(params, x, *, num_groups: int, eps: float = 1e-5,
                act: Optional[str] = None):
-    """GroupNorm over channel-last input of any spatial rank, fp32 statistics.
+    """GroupNorm over channel-last input of any spatial rank.
 
-    Optionally fuses a SiLU activation (XLA fuses this chain into one pass;
-    a Pallas fused kernel is available in ops/ for the hot path).
+    Statistics accumulate in fp32 via the reduction dtype WITHOUT
+    materializing an fp32 copy of the activation (the fp32 round-trip was a
+    measured 37 ms/UNet-forward of convert_reduce fusions on v5e); the
+    normalize/affine math then runs elementwise, fusing into neighbors.
+    Optionally fuses a SiLU activation.
     """
-    orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
-    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xg = x.reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True,
+                     dtype=jnp.float32)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xf = (xg.astype(jnp.float32) - mean) * inv
     xf = xf.reshape(x.shape)
     xf = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
     if act == "silu":
         xf = jax.nn.silu(xf)
-    return xf.astype(orig_dtype)
+    return xf.astype(x.dtype)
 
 
 def layer_norm(params, x, *, eps: float = 1e-5):
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xf = (x.astype(jnp.float32) - mean) * inv
     xf = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    return xf.astype(x.dtype)
 
 
 def embedding_lookup(params, ids):

@@ -206,3 +206,95 @@ def flash_attention_concat_kv(q, k, v, k_ref, v_ref, *,
     vv = jnp.concatenate([v, v_ref], axis=1)
     return flash_attention(q, kk, vv, scale=scale, block_q=block_q,
                            block_kv=block_kv)
+
+
+def _flash_kernel_fused(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                        scale: float, kv_len: int, block_kv: int):
+    """Same online-softmax body, 5-D refs (the three inputs alias one fused
+    qkv buffer at leading index 0/1/2)."""
+    kvb = pl.program_id(3)
+    num_kvb = pl.num_programs(3)
+
+    @pl.when(kvb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0, 0]
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale
+    col = kvb * block_kv + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, dimension=1)
+    logits = jnp.where(col < kv_len, logits, _NEG_INF)
+    m_prev = m_ref[:, 0][:, None]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(kvb == num_kvb - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, 0][:, None], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_attention_fused_qkv(qkv, s_own: int, *,
+                              scale: Optional[float] = None,
+                              block_q: Optional[int] = None,
+                              block_kv: Optional[int] = None):
+    """Attention directly on a fused-QKV GEMM output.
+
+    qkv: (B, St, 3, H, D) — reshaped projection output over the
+    [own | garment] concatenated sequence (St tokens). Queries are the first
+    ``s_own`` tokens; keys/values span all St tokens. One transpose feeds the
+    kernel (replacing the slice+concat+per-tensor-transpose+pad chain, a
+    measured ~60 ms/UNet-forward of copy/pad/slice ops).
+
+    Returns (B, s_own, H, D).
+    """
+    b, st, three, h, d = qkv.shape
+    assert three == 3
+    scale = scale if scale is not None else d ** -0.5
+    block_q = min(block_q or DEFAULT_BLOCK_Q, _round_up(s_own, 128))
+    block_kv = min(block_kv or DEFAULT_BLOCK_KV, _round_up(st, 128))
+    d_p = _round_up(d, _LANE)
+
+    t = jnp.transpose(qkv, (2, 0, 3, 1, 4))        # (3, B, H, St, D)
+    sq_p = _round_up(s_own, block_q)
+    skv_p = _round_up(st, block_kv)
+    pad_s = max(sq_p, skv_p) - st   # skv_p >= st, so pad_s >= 0
+    t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, pad_s), (0, d_p - d)))
+
+    grid = (b, h, sq_p // block_q, skv_p // block_kv)
+    kernel = functools.partial(_flash_kernel_fused, scale=float(scale),
+                               kv_len=st, block_kv=block_kv)
+    spec = lambda which: pl.BlockSpec(
+        (1, 1, 1, block_q if which == 0 else block_kv, d_p),
+        functools.partial(
+            lambda which, bi, hi, qi, ki: (
+                which, bi, hi, qi if which == 0 else ki, 0), which))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_p), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+        ],
+        interpret=(jax.default_backend() != "tpu"),
+    )(t, t, t)
+    return jnp.transpose(out[:, :, :s_own, :d], (0, 2, 1, 3))

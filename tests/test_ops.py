@@ -87,3 +87,28 @@ def test_flash_attention_grad_matches():
     for a, b in zip(g_pl, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_fused_qkv_flash_matches_reference():
+    """flash_attention_fused_qkv(qkv, s) == attn(cat)[:, :s] reference."""
+    from idmvton_tpu.ops.pallas_attention import flash_attention_fused_qkv
+    b, s, m, h, d = 2, 96, 96, 2, 32
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, s + m, 3, h, d))
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    ref = sdpa(q, k, v, impl="xla")[:, :s]
+    out = flash_attention_fused_qkv(qkv, s)
+    assert out.shape == (b, s, h, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_fused_qkv_flash_no_garment():
+    from idmvton_tpu.ops.pallas_attention import flash_attention_fused_qkv
+    b, s, h, d = 1, 200, 3, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (b, s, 3, h, d),
+                            jnp.bfloat16)
+    ref = sdpa(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], impl="xla")
+    out = flash_attention_fused_qkv(qkv, s)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
