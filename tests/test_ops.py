@@ -112,3 +112,20 @@ def test_fused_qkv_flash_no_garment():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_fused_layer_norm_matches():
+    from idmvton_tpu.ops.pallas_norm import fused_layer_norm, _xla_ln
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 256), jnp.bfloat16)
+    scale = jax.random.normal(jax.random.PRNGKey(1), (256,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (256,)) * 0.1
+    out = fused_layer_norm(x, scale, bias)
+    ref = _xla_ln(x, scale, bias, 1e-5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    # gradients flow (backward = XLA recompute)
+    g = jax.grad(lambda x: jnp.sum(
+        fused_layer_norm(x.astype(jnp.float32), scale, bias)
+        .astype(jnp.float32)))(x.astype(jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
