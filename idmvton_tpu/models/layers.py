@@ -127,11 +127,9 @@ def group_norm(params, x, *, num_groups: int, eps: float = 1e-5,
 
 
 def layer_norm(params, x, *, eps: float = 1e-5):
-    if x.shape[-1] % 128 == 0:
-        from idmvton_tpu.ops.dispatch import get_default_impl
-        if get_default_impl() == "pallas":
-            from idmvton_tpu.ops.pallas_norm import fused_layer_norm
-            return fused_layer_norm(x, params["scale"], params["bias"], eps)
+    # NOTE: a fused Pallas LN exists (ops/pallas_norm.py) but measured SLOWER
+    # in-graph (306 vs 296 ms/UNet-fwd) — the custom-call boundary outweighs
+    # XLA's fused convert+reduce at 210 call sites. Kept unwired.
     mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
     mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
     var = jnp.maximum(mean2 - jnp.square(mean), 0.0)

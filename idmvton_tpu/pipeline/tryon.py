@@ -259,22 +259,33 @@ class TryonPipeline:
 
     # -- stage 2: a single denoise step (the hot-loop body) -----------------
 
+    def garment_features(self, params: dict, cond: dict, t, *,
+                         impl: Optional[str] = None):
+        """GarmentNet forward on the cond batch only (B), CFG-expanded with a
+        zero uncond half (tryon_pipeline.py:1787,1795)."""
+        _, feats = unet_apply(params["garm"], self.models.garm_cfg,
+                              cond["cloth_lat"], t, cond["cloth_embeds"],
+                              impl=impl)
+        return tuple(
+            jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+
     def denoise_step(self, params: dict, cond: dict, latents, t, prev_t,
                      step_rng, *, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0,
+                     feats_cfg=None,
                      impl: Optional[str] = None):
         """One CFG denoise step: GarmentNet fwd -> TryonNet fwd -> CFG ->
-        DDPM step (reference hot loop: tryon_pipeline.py:1765-1866)."""
+        DDPM step (reference hot loop: tryon_pipeline.py:1765-1866).
+
+        ``feats_cfg``: precomputed garment features (garment_cache="once"
+        mode); None recomputes per step like the reference (GarmentNet's
+        resnets are time-conditioned, so this is the parity path).
+        """
         m = self.models
         sched = self.scheduler
         dtype = latents.dtype
-        # GarmentNet on cond batch only (B), per-step: its resnets are
-        # time-conditioned (tryon_pipeline.py:1787)
-        _, feats = unet_apply(params["garm"], m.garm_cfg, cond["cloth_lat"],
-                              t, cond["cloth_embeds"], impl=impl)
-        # uncond half attends to zero features (tryon_pipeline.py:1795)
-        feats_cfg = tuple(
-            jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+        if feats_cfg is None:
+            feats_cfg = self.garment_features(params, cond, t, impl=impl)
 
         lat_in = jnp.concatenate([latents] * 2, axis=0)
         unet_in = jnp.concatenate(
@@ -298,8 +309,17 @@ class TryonPipeline:
                 latent_shape: Tuple[int, int, int, int],
                 num_steps: int = 30, guidance_scale: float = 2.0,
                 guidance_rescale: float = 0.0, strength: float = 1.0,
-                dtype=None, impl: Optional[str] = None):
-        """The 30-step loop as one lax.scan. Returns final latents."""
+                dtype=None, garment_cache: str = "every_step",
+                impl: Optional[str] = None):
+        """The 30-step loop as one lax.scan. Returns final latents.
+
+        garment_cache: "every_step" recomputes GarmentNet per step (reference
+        semantics — its resnets are time-conditioned); "once" computes the
+        reference features at the mid-schedule timestep and reuses them,
+        cutting ~1/3 of the denoise FLOPs (the features' time-dependence is
+        weak — cf. PAPERS.md "Decouple, Don't Denoise"; validate quality
+        before serving with this on).
+        """
         sched = self.scheduler
         init_rng, steps_rng = jax.random.split(rng)
         dtype = dtype or cond["masked_lat"].dtype
@@ -309,12 +329,18 @@ class TryonPipeline:
         prev_ts = sched.prev_timesteps(ts, num_steps)
         step_rngs = jax.random.split(steps_rng, ts.shape[0])
 
+        feats_cached = None
+        if garment_cache == "once":
+            feats_cached = self.garment_features(
+                params, cond, ts[num_steps // 2], impl=impl)
+
         def body(latents, scan_in):
             t, prev_t, step_rng = scan_in
             return self.denoise_step(
                 params, cond, latents, t, prev_t, step_rng,
                 guidance_scale=guidance_scale,
-                guidance_rescale=guidance_rescale, impl=impl), None
+                guidance_rescale=guidance_rescale,
+                feats_cfg=feats_cached, impl=impl), None
 
         latents, _ = jax.lax.scan(body, latents, (ts, prev_ts, step_rngs))
         return latents
@@ -337,6 +363,7 @@ class TryonPipeline:
                  guidance_scale: float = 2.0,
                  guidance_rescale: float = 0.0,
                  strength: float = 1.0,
+                 garment_cache: str = "every_step",
                  impl: Optional[str] = None):
         """Returns images (B, H, W, 3) in [-1, 1]."""
         m = self.models
@@ -354,7 +381,7 @@ class TryonPipeline:
             latent_shape=(b, lat_h, lat_w, m.vae_cfg.latent_channels),
             num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength,
-            dtype=person.dtype, impl=impl)
+            dtype=person.dtype, garment_cache=garment_cache, impl=impl)
         return self.decode(params, latents)
 
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
