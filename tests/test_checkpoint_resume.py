@@ -23,7 +23,7 @@ def test_train_state_resume_roundtrip(tmp_path):
     tx = make_optimizer(learning_rate=1e-4)
     state = init_train_state(models, tx)
     step = jax.jit(make_train_step(models, sched, tx,
-                                   compute_dtype=jnp.float32))
+                                   compute_dtype=jnp.float32, remat=False))
     batch = _batch(2, 32, 32, models)
     state, _ = step(state, batch, jax.random.PRNGKey(1))
     path = str(tmp_path / "state")

@@ -36,7 +36,7 @@ def test_train_step_updates_and_is_finite():
     tx = make_optimizer(learning_rate=1e-4)
     state = init_train_state(models, tx)
     step = jax.jit(make_train_step(models, sched, tx, snr_gamma=5.0,
-                                   compute_dtype=DTYPE))
+                                   compute_dtype=DTYPE, remat=False))
     batch = _batch(2, 32, 32, models)
     state1, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
@@ -58,7 +58,8 @@ def test_train_step_data_parallel_matches():
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(learning_rate=1e-4)
     state = init_train_state(models, tx)
-    step = jax.jit(make_train_step(models, sched, tx, compute_dtype=DTYPE))
+    step = jax.jit(make_train_step(models, sched, tx,
+                                   compute_dtype=DTYPE, remat=False))
     batch = _batch(8, 32, 32, models)
     ref_state, ref_metrics = step(state, batch, jax.random.PRNGKey(1))
 
