@@ -90,8 +90,14 @@ def main(argv=None):
     loader = BatchLoader(ds, args.test_batch_size)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    gen = pipe.jit_generate(num_steps=args.num_inference_steps,
-                            guidance_scale=args.guidance_scale)
+    # one fused program on CPU/small models; small per-stage programs on
+    # TPU (the fused 30-step scan compiles impractically slowly there)
+    if jax.default_backend() == "tpu":
+        gen = pipe.stepwise_generate(num_steps=args.num_inference_steps,
+                                     guidance_scale=args.guidance_scale)
+    else:
+        gen = pipe.jit_generate(num_steps=args.num_inference_steps,
+                                guidance_scale=args.guidance_scale)
     params = models.params()
     rng = jax.random.PRNGKey(args.seed)
 

@@ -387,8 +387,61 @@ class TryonPipeline:
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0, strength: float = 1.0,
                      impl: Optional[str] = None, donate: bool = False):
-        """Returns jitted fn(params, rng, **tensor_kwargs) -> images."""
+        """Returns jitted fn(params, rng, **tensor_kwargs) -> images —
+        everything (encoders, 30-step scan, decode) in ONE program."""
         gen = functools.partial(
             self.generate, num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength, impl=impl)
         return jax.jit(gen)
+
+    def stepwise_generate(self, *, num_steps: int = 30,
+                          guidance_scale: float = 2.0,
+                          guidance_rescale: float = 0.0,
+                          strength: float = 1.0,
+                          garment_cache: str = "every_step",
+                          impl: Optional[str] = None):
+        """Returns fn(params, rng, **tensor_kwargs) -> images built from
+        small jitted programs: staged per-tower encode, a python loop over
+        the jitted denoise step (donated latents), jitted decode.
+
+        Preferred for serving on one chip: identical math to generate(), but
+        each program compiles in ~1-2 min (the fused scan takes far longer
+        through a remote-compile path) and conditioning tensors stay small.
+        """
+        m = self.models
+        sched = self.scheduler
+        encode = self.staged_encoder()
+        step = jax.jit(functools.partial(
+            self.denoise_step, guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale, impl=impl),
+            donate_argnums=(2,))
+        feats_fn = jax.jit(functools.partial(self.garment_features, impl=impl))
+        decode = jax.jit(self.decode)
+
+        import numpy as np
+        ts = np.asarray(sched.timesteps(num_steps, strength))
+        prev_ts = np.asarray(sched.prev_timesteps(
+            sched.timesteps(num_steps, strength), num_steps))
+
+        def fn(params, rng, **inputs):
+            b, img_h, img_w, _ = inputs["person"].shape
+            lat_h = img_h // m.vae_cfg.downscale
+            lat_w = img_w // m.vae_cfg.downscale
+            dtype = inputs["person"].dtype
+            cond_rng, init_rng, steps_rng = jax.random.split(rng, 3)
+            cond = encode(params, cond_rng, inputs)
+            lat = jax.random.normal(
+                init_rng, (b, lat_h, lat_w, m.vae_cfg.latent_channels),
+                jnp.float32).astype(dtype) * sched.init_noise_sigma
+            step_rngs = jax.random.split(steps_rng, len(ts))
+            feats = None
+            if garment_cache == "once":
+                feats = feats_fn(params, cond,
+                                 jnp.int32(ts[len(ts) // 2]))
+            for i in range(len(ts)):
+                lat = step(params, cond, lat, jnp.int32(ts[i]),
+                           jnp.int32(prev_ts[i]), step_rngs[i],
+                           feats_cfg=feats)
+            return decode(params, lat)
+
+        return fn

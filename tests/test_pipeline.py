@@ -77,3 +77,17 @@ def test_garment_cache_once_mode():
     img = gen_once(models.params(), jax.random.PRNGKey(1), **inputs)
     assert img.shape == (b, h, w, 3)
     assert jnp.isfinite(img).all()
+
+
+def test_stepwise_generate_matches_contract():
+    """stepwise_generate: same math as generate() via small programs."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w = 1, 32, 32
+    inputs = _tiny_inputs(b, h, w, models)
+    fn = pipe.stepwise_generate(num_steps=2)
+    img = fn(models.params(), jax.random.PRNGKey(1), **inputs)
+    assert img.shape == (b, h, w, 3)
+    assert jnp.isfinite(img).all()
+    img2 = fn(models.params(), jax.random.PRNGKey(1), **inputs)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
