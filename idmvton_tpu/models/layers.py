@@ -75,15 +75,25 @@ def linear(params, x, *, precision=None):
     return y
 
 
+import os
+
+_CONV_NATIVE_OUT = os.environ.get("IDMVTON_CONV_NATIVE_OUT") == "1"
+
+
 def conv2d(params, x, *, stride: int = 1, padding="SAME"):
-    """NHWC conv. ``padding`` is "SAME", "VALID" or explicit pairs."""
+    """NHWC conv. ``padding`` is "SAME", "VALID" or explicit pairs.
+
+    The MXU accumulates bf16 convs in fp32 internally either way;
+    IDMVTON_CONV_NATIVE_OUT=1 emits the input dtype directly instead of
+    fp32 + a fused convert (perf experiment toggle).
+    """
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if _CONV_NATIVE_OUT else jnp.float32,
     ).astype(x.dtype)
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
