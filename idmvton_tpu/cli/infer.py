@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--unpaired", action="store_true")
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--guidance_scale", type=float, default=2.0)
+    p.add_argument("--strength", type=float, default=1.0,
+                   help="denoise strength; <1 starts from noised person-image "
+                        "latents (reference prepare_latents semantics)")
     p.add_argument("--width", type=int, default=768)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--test_batch_size", type=int, default=2)
@@ -94,10 +97,12 @@ def main(argv=None):
     # TPU (the fused 30-step scan compiles impractically slowly there)
     if jax.default_backend() == "tpu":
         gen = pipe.stepwise_generate(num_steps=args.num_inference_steps,
-                                     guidance_scale=args.guidance_scale)
+                                     guidance_scale=args.guidance_scale,
+                                     strength=args.strength)
     else:
         gen = pipe.jit_generate(num_steps=args.num_inference_steps,
-                                guidance_scale=args.guidance_scale)
+                                guidance_scale=args.guidance_scale,
+                                strength=args.strength)
     params = models.params()
     rng = jax.random.PRNGKey(args.seed)
 

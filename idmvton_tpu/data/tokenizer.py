@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import gzip
+import hashlib
 import html
 import json
 import os
@@ -131,8 +132,13 @@ class HashTokenizer:
 
     def encode(self, text: str) -> List[int]:
         words = _whitespace_clean(text).lower().split()
-        # stable per-word hash into the non-special vocab range
-        return [(hash(w) % (self.vocab_size - 3)) for w in words]
+        # stable per-word content hash into the non-special vocab range
+        # (builtin hash() is salted per process — not reproducible)
+        return [
+            int.from_bytes(hashlib.sha256(w.encode()).digest()[:4], "little")
+            % (self.vocab_size - 3)
+            for w in words
+        ]
 
     def __call__(self, texts, max_length: Optional[int] = None) -> np.ndarray:
         if isinstance(texts, str):

@@ -42,7 +42,7 @@ _RULES = {
 }
 
 
-def _spec_for(path, leaf):
+def _spec_for(path, leaf, model_axis_size: int):
     names = [getattr(p, "key", None) for p in path]
     leaf_name = names[-1]
     parent = names[-2] if len(names) >= 2 else None
@@ -51,19 +51,31 @@ def _spec_for(path, leaf):
         return P()
     kernel_spec, bias_spec = rule
     if leaf_name == "kernel" and leaf.ndim == 2:
+        # split dim must divide the model-axis size; replicate otherwise
+        split_dim = 1 if kernel_spec == _COL[0] else 0
+        if leaf.shape[split_dim] % model_axis_size != 0:
+            return P()
         return kernel_spec
     if leaf_name == "bias" and leaf.ndim == 1:
-        # row-parallel bias stays replicated; col-parallel bias splits
-        return bias_spec if bias_spec == P() or leaf.shape[0] % 2 == 0 else P()
+        # row-parallel bias stays replicated; col-parallel bias splits only
+        # when evenly divisible by the actual model-axis size (not a
+        # hardcoded 2 — a tp=4 mesh must not inherit tp=2 divisibility)
+        if bias_spec == P() or leaf.shape[0] % model_axis_size != 0:
+            return P()
+        return bias_spec
     return P()
 
 
-def unet_param_spec(params) -> dict:
-    """PartitionSpec tree for a UNet param tree (models/unet.py layout)."""
-    return jax.tree_util.tree_map_with_path(_spec_for, params)
+def unet_param_spec(params, model_axis_size: int = 2) -> dict:
+    """PartitionSpec tree for a UNet param tree (models/unet.py layout).
+
+    model_axis_size: the size of the mesh's MODEL_AXIS — divisibility of
+    every split dim is validated against it, replicating anything uneven."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: _spec_for(p, l, model_axis_size), params)
 
 
 def shard_unet_params(params, mesh):
-    spec = unet_param_spec(params)
+    spec = unet_param_spec(params, mesh.shape.get(MODEL_AXIS, 1))
     return jax.device_put(params, jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), spec))

@@ -121,7 +121,7 @@ class TryonPipeline:
                             prompt_ids_l, prompt_ids_g,
                             neg_ids_l, neg_ids_g,
                             cloth_ids_l, cloth_ids_g,
-                            ip_pixels) -> dict:
+                            ip_pixels, vae_sample: bool = True) -> dict:
         """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in
         {0,1} (1 = inpaint region); ip_pixels (B, 224, 224, 3)
         CLIP-normalized. Returns the static conditioning dict for denoise().
@@ -152,12 +152,15 @@ class TryonPipeline:
         ip_uncond = resampler_apply(params["resampler"], m.resampler_cfg,
                                     vis_uncond["penultimate"])
 
-        # ---- VAE encodes (masked person, pose, cloth)
+        # ---- VAE encodes (masked person, pose, cloth); vae_sample=False
+        # uses the posterior mode (deterministic — golden-parity fixtures)
         masked_person = person * (mask < 0.5).astype(dtype)
         masked_lat = vae_encode(params["vae"], m.vae_cfg, masked_person,
-                                rng=rngs[0])
-        pose_lat = vae_encode(params["vae"], m.vae_cfg, pose, rng=rngs[1])
-        cloth_lat = vae_encode(params["vae"], m.vae_cfg, cloth, rng=rngs[2])
+                                rng=rngs[0], sample=vae_sample)
+        pose_lat = vae_encode(params["vae"], m.vae_cfg, pose, rng=rngs[1],
+                              sample=vae_sample)
+        cloth_lat = vae_encode(params["vae"], m.vae_cfg, cloth, rng=rngs[2],
+                               sample=vae_sample)
         mask_lat = jax.image.resize(mask, (b, lat_h, lat_w, 1), "nearest").astype(dtype)
 
         # ---- CFG-batched static conditioning (uncond first, diffusers order)
@@ -270,9 +273,10 @@ class TryonPipeline:
             jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
 
     def denoise_step(self, params: dict, cond: dict, latents, t, prev_t,
-                     step_rng, *, guidance_scale: float = 2.0,
+                     step_rng=None, *, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0,
                      feats_cfg=None,
+                     step_noise=None,
                      impl: Optional[str] = None):
         """One CFG denoise step: GarmentNet fwd -> TryonNet fwd -> CFG ->
         DDPM step (reference hot loop: tryon_pipeline.py:1765-1866).
@@ -280,6 +284,8 @@ class TryonPipeline:
         ``feats_cfg``: precomputed garment features (garment_cache="once"
         mode); None recomputes per step like the reference (GarmentNet's
         resnets are time-conditioned, so this is the parity path).
+        ``step_noise``: injected DDPM variance noise (golden-parity hook,
+        SURVEY §7) — when None it is drawn from ``step_rng``.
         """
         m = self.models
         sched = self.scheduler
@@ -300,8 +306,9 @@ class TryonPipeline:
         uncond, condp = jnp.split(noise_pred, 2, axis=0)
         guided = classifier_free_guidance(uncond, condp, guidance_scale,
                                           guidance_rescale)
-        step_noise = jax.random.normal(step_rng, latents.shape,
-                                       jnp.float32).astype(dtype)
+        if step_noise is None:
+            step_noise = jax.random.normal(step_rng, latents.shape,
+                                           jnp.float32).astype(dtype)
         new_latents, _ = sched.step(guided, t, prev_t, latents, step_noise)
         return new_latents
 
@@ -310,6 +317,8 @@ class TryonPipeline:
                 num_steps: int = 30, guidance_scale: float = 2.0,
                 guidance_rescale: float = 0.0, strength: float = 1.0,
                 dtype=None, garment_cache: str = "every_step",
+                image_latents=None, inpaint_blend: bool = False,
+                init_noise=None, step_noise=None,
                 impl: Optional[str] = None):
         """The 30-step loop as one lax.scan. Returns final latents.
 
@@ -319,30 +328,76 @@ class TryonPipeline:
         cutting ~1/3 of the denoise FLOPs (the features' time-dependence is
         weak — cf. PAPERS.md "Decouple, Don't Denoise"; validate quality
         before serving with this on).
+
+        image_latents: scaled VAE latents of the person image; REQUIRED when
+        strength < 1 (init = scheduler.add_noise(image_latents, noise, t0),
+        no init_noise_sigma scale — reference prepare_latents,
+        tryon_pipeline.py:888-894) or when inpaint_blend is on.
+        inpaint_blend: the reference's 4-channel-UNet inpaint branch
+        (tryon_pipeline.py:1825-1838) — after each step, pin the un-masked
+        region to the image latents noised to the NEXT timestep.
+        init_noise / step_noise: golden-parity injection hooks (SURVEY §7;
+        torch RNG cannot be reproduced cross-framework). init_noise (B,h,w,4)
+        replaces the initial draw; step_noise (T,B,h,w,4) replaces the
+        per-step DDPM variance draws.
         """
         sched = self.scheduler
         init_rng, steps_rng = jax.random.split(rng)
         dtype = dtype or cond["masked_lat"].dtype
-        latents = jax.random.normal(init_rng, latent_shape,
-                                    jnp.float32).astype(dtype) * sched.init_noise_sigma
+        if init_noise is None:
+            init_noise = jax.random.normal(init_rng, latent_shape, jnp.float32)
+        init_noise = init_noise.astype(dtype)
         ts = sched.timesteps(num_steps, strength)
         prev_ts = sched.prev_timesteps(ts, num_steps)
-        step_rngs = jax.random.split(steps_rng, ts.shape[0])
+        n_steps = int(ts.shape[0])
+
+        if strength >= 1.0:
+            latents = init_noise * sched.init_noise_sigma
+        else:
+            if image_latents is None:
+                raise ValueError(
+                    "strength < 1 requires image_latents (reference "
+                    "prepare_latents: init = noised person-image latents, "
+                    "tryon_pipeline.py:888-894)")
+            latents = sched.add_noise(
+                image_latents.astype(dtype), init_noise, ts[0])
+        if inpaint_blend and image_latents is None:
+            raise ValueError("inpaint_blend requires image_latents")
+
+        if step_noise is None:
+            step_rngs = jax.random.split(steps_rng, n_steps)
+            step_noise = jax.vmap(
+                lambda k: jax.random.normal(k, latent_shape, jnp.float32))(step_rngs)
+        step_noise = step_noise.astype(dtype)
 
         feats_cached = None
         if garment_cache == "once":
             feats_cached = self.garment_features(
                 params, cond, ts[num_steps // 2], impl=impl)
 
+        # timestep the blend noises TO: the next loop iteration's t
+        # (reference: noise_timestep = timesteps[i+1]); -1 marks the last step
+        next_ts = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
+
         def body(latents, scan_in):
-            t, prev_t, step_rng = scan_in
-            return self.denoise_step(
-                params, cond, latents, t, prev_t, step_rng,
+            t, prev_t, next_t, noise_t = scan_in
+            latents = self.denoise_step(
+                params, cond, latents, t, prev_t,
                 guidance_scale=guidance_scale,
                 guidance_rescale=guidance_rescale,
-                feats_cfg=feats_cached, impl=impl), None
+                feats_cfg=feats_cached, step_noise=noise_t, impl=impl)
+            if inpaint_blend:
+                img = image_latents.astype(dtype)
+                noised = sched.add_noise(img, init_noise,
+                                         jnp.maximum(next_t, 0))
+                proper = jnp.where(next_t >= 0, noised, img)
+                m = cond["mask_lat"].astype(jnp.float32)
+                latents = ((1.0 - m) * proper.astype(jnp.float32)
+                           + m * latents.astype(jnp.float32)).astype(dtype)
+            return latents, None
 
-        latents, _ = jax.lax.scan(body, latents, (ts, prev_ts, step_rngs))
+        latents, _ = jax.lax.scan(body, latents,
+                                  (ts, prev_ts, next_ts, step_noise))
         return latents
 
     # -- stage 3: decode -----------------------------------------------------
@@ -364,8 +419,16 @@ class TryonPipeline:
                  guidance_rescale: float = 0.0,
                  strength: float = 1.0,
                  garment_cache: str = "every_step",
+                 inpaint_blend: bool = False,
+                 init_noise=None, step_noise=None,
+                 vae_sample: bool = True,
                  impl: Optional[str] = None):
-        """Returns images (B, H, W, 3) in [-1, 1]."""
+        """Returns images (B, H, W, 3) in [-1, 1].
+
+        init_noise / step_noise: golden-parity noise injection (see denoise).
+        vae_sample=False: deterministic (posterior-mode) VAE encodes for
+        golden fixtures.
+        """
         m = self.models
         b, img_h, img_w, _ = person.shape
         lat_h, lat_w = img_h // m.vae_cfg.downscale, img_w // m.vae_cfg.downscale
@@ -375,23 +438,37 @@ class TryonPipeline:
             prompt_ids_l=prompt_ids_l, prompt_ids_g=prompt_ids_g,
             neg_ids_l=neg_ids_l, neg_ids_g=neg_ids_g,
             cloth_ids_l=cloth_ids_l, cloth_ids_g=cloth_ids_g,
-            ip_pixels=ip_pixels)
+            ip_pixels=ip_pixels, vae_sample=vae_sample)
+        image_latents = None
+        if strength < 1.0 or inpaint_blend:
+            # sampled person-image latents (reference _encode_vae_image,
+            # tryon_pipeline.py:913-933); keyed off the parent rng so the
+            # default (strength=1) RNG stream is unchanged
+            image_latents = vae_encode(params["vae"], m.vae_cfg, person,
+                                       rng=jax.random.fold_in(rng, 7),
+                                       sample=vae_sample)
         latents = self.denoise(
             params, denoise_rng, cond,
             latent_shape=(b, lat_h, lat_w, m.vae_cfg.latent_channels),
             num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength,
-            dtype=person.dtype, garment_cache=garment_cache, impl=impl)
+            dtype=person.dtype, garment_cache=garment_cache,
+            image_latents=image_latents, inpaint_blend=inpaint_blend,
+            init_noise=init_noise, step_noise=step_noise, impl=impl)
         return self.decode(params, latents)
 
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0, strength: float = 1.0,
+                     inpaint_blend: bool = False, vae_sample: bool = True,
                      impl: Optional[str] = None, donate: bool = False):
         """Returns jitted fn(params, rng, **tensor_kwargs) -> images —
-        everything (encoders, 30-step scan, decode) in ONE program."""
+        everything (encoders, 30-step scan, decode) in ONE program.
+        Accepts optional init_noise=/step_noise= tensor kwargs (golden
+        parity)."""
         gen = functools.partial(
             self.generate, num_steps=num_steps, guidance_scale=guidance_scale,
-            guidance_rescale=guidance_rescale, strength=strength, impl=impl)
+            guidance_rescale=guidance_rescale, strength=strength,
+            inpaint_blend=inpaint_blend, vae_sample=vae_sample, impl=impl)
         return jax.jit(gen)
 
     def stepwise_generate(self, *, num_steps: int = 30,
@@ -399,6 +476,7 @@ class TryonPipeline:
                           guidance_rescale: float = 0.0,
                           strength: float = 1.0,
                           garment_cache: str = "every_step",
+                          inpaint_blend: bool = False,
                           impl: Optional[str] = None):
         """Returns fn(params, rng, **tensor_kwargs) -> images built from
         small jitted programs: staged per-tower encode, a python loop over
@@ -407,6 +485,9 @@ class TryonPipeline:
         Preferred for serving on one chip: identical math to generate(), but
         each program compiles in ~1-2 min (the fused scan takes far longer
         through a remote-compile path) and conditioning tensors stay small.
+
+        Optional tensor kwargs init_noise= / step_noise= inject the initial
+        and per-step DDPM noises (golden-parity hook, SURVEY §7).
         """
         m = self.models
         sched = self.scheduler
@@ -417,31 +498,56 @@ class TryonPipeline:
             donate_argnums=(2,))
         feats_fn = jax.jit(functools.partial(self.garment_features, impl=impl))
         decode = jax.jit(self.decode)
+        vae_enc = jax.jit(lambda p, x, r: vae_encode(p["vae"], m.vae_cfg, x,
+                                                     rng=r))
+        blend = jax.jit(lambda lat, img, noise, mask, next_t: (
+            (1.0 - mask.astype(jnp.float32))
+            * jnp.where(next_t >= 0,
+                        sched.add_noise(img, noise, jnp.maximum(next_t, 0)),
+                        img).astype(jnp.float32)
+            + mask.astype(jnp.float32) * lat.astype(jnp.float32)
+        ).astype(lat.dtype))
 
         import numpy as np
         ts = np.asarray(sched.timesteps(num_steps, strength))
         prev_ts = np.asarray(sched.prev_timesteps(
             sched.timesteps(num_steps, strength), num_steps))
 
-        def fn(params, rng, **inputs):
+        def fn(params, rng, *, init_noise=None, step_noise=None, **inputs):
             b, img_h, img_w, _ = inputs["person"].shape
             lat_h = img_h // m.vae_cfg.downscale
             lat_w = img_w // m.vae_cfg.downscale
+            lshape = (b, lat_h, lat_w, m.vae_cfg.latent_channels)
             dtype = inputs["person"].dtype
             cond_rng, init_rng, steps_rng = jax.random.split(rng, 3)
             cond = encode(params, cond_rng, inputs)
-            lat = jax.random.normal(
-                init_rng, (b, lat_h, lat_w, m.vae_cfg.latent_channels),
-                jnp.float32).astype(dtype) * sched.init_noise_sigma
+            if init_noise is None:
+                init_noise = jax.random.normal(init_rng, lshape, jnp.float32)
+            init_noise = init_noise.astype(dtype)
+            image_lat = None
+            if strength < 1.0 or inpaint_blend:
+                image_lat = vae_enc(params, inputs["person"],
+                                    jax.random.fold_in(rng, 7))
+            if strength >= 1.0:
+                lat = init_noise * sched.init_noise_sigma
+            else:
+                lat = sched.add_noise(image_lat.astype(dtype), init_noise,
+                                      jnp.int32(ts[0]))
             step_rngs = jax.random.split(steps_rng, len(ts))
             feats = None
             if garment_cache == "once":
                 feats = feats_fn(params, cond,
                                  jnp.int32(ts[len(ts) // 2]))
             for i in range(len(ts)):
+                noise_i = None if step_noise is None else \
+                    step_noise[i].astype(dtype)
                 lat = step(params, cond, lat, jnp.int32(ts[i]),
                            jnp.int32(prev_ts[i]), step_rngs[i],
-                           feats_cfg=feats)
+                           feats_cfg=feats, step_noise=noise_i)
+                if inpaint_blend:
+                    next_t = jnp.int32(ts[i + 1] if i + 1 < len(ts) else -1)
+                    lat = blend(lat, image_lat.astype(dtype), init_noise,
+                                cond["mask_lat"], next_t)
             return decode(params, lat)
 
         return fn

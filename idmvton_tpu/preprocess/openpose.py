@@ -128,8 +128,8 @@ _LIMB_SEQ = [
 ]
 _PAF_IDX = [
     (31, 32), (39, 40), (33, 34), (35, 36), (41, 42), (43, 44), (19, 20),
-    (21, 22), (23, 24), (25, 26), (27, 28), (29, 30), (1, 2), (5, 6),
-    (7, 8), (3, 4), (9, 10), (11, 12), (13, 14),
+    (21, 22), (23, 24), (25, 26), (27, 28), (29, 30), (47, 48), (49, 50),
+    (53, 54), (51, 52), (55, 56), (37, 38), (45, 46),
 ]
 
 

@@ -133,7 +133,10 @@ def tryon_loss(trainable: dict, models: TryonModels, scheduler: DDPMScheduler,
     elif pt == "v_prediction":
         target = scheduler.get_velocity(model_input, noise.astype(compute_dtype), t).astype(jnp.float32)
     elif pt == "sample":
+        # reference subtracts the noise residual from the prediction before
+        # comparing to the clean latents (train_xl.py:718-721)
         target = model_input.astype(jnp.float32)
+        pred = pred.astype(jnp.float32) - noise
     else:
         raise ValueError(pt)
 
@@ -143,8 +146,11 @@ def tryon_loss(trainable: dict, models: TryonModels, scheduler: DDPMScheduler,
         snr = scheduler.snr(t)
         if pt == "epsilon":
             weight = jnp.minimum(snr, snr_gamma) / jnp.maximum(snr, 1e-8)
-        else:  # v_prediction
-            weight = jnp.minimum(snr, snr_gamma) / (snr + 1.0)
+        else:  # v_prediction: shift snr by +1 BEFORE both the min and the
+            # division (reference train_xl.py:732-737 divides min(snr+1, g)
+            # by snr+1, not min(snr, g))
+            snr_v = snr + 1.0
+            weight = jnp.minimum(snr_v, snr_gamma) / snr_v
         per_example = per_example * weight
     return jnp.mean(per_example)
 

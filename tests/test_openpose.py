@@ -10,6 +10,29 @@ from idmvton_tpu.preprocess.openpose import (
 )
 
 
+def test_paf_channel_table_matches_reference():
+    """_PAF_IDX must equal the reference mapIdx EXACTLY
+    (preprocess/openpose/annotator/openpose/body.py:108-110) — round 1
+    shipped a wrong tail for limbs 12-18 that negative-indexed into the
+    wrong PAF channels, which a decode-roundtrip test cannot catch."""
+    reference_map_idx = [
+        (31, 32), (39, 40), (33, 34), (35, 36), (41, 42), (43, 44),
+        (19, 20), (21, 22), (23, 24), (25, 26), (27, 28), (29, 30),
+        (47, 48), (49, 50), (53, 54), (51, 52), (55, 56), (37, 38),
+        (45, 46),
+    ]
+    assert _PAF_IDX == reference_map_idx
+    # every PAF channel index (mapIdx - 19) must be a valid channel of the
+    # 38-channel PAF head — the broken table produced negative indices
+    for ca, cb in _PAF_IDX:
+        assert 0 <= ca - 19 < 38 and 0 <= cb - 19 < 38
+    # limbs 12-18 read channels 28/29, 30/31, 34/35, 32/33, 36/37, 18/19,
+    # 26/27 (VERDICT.md round-1 item 4)
+    tail = [(ca - 19, cb - 19) for ca, cb in _PAF_IDX[12:]]
+    assert tail == [(28, 29), (30, 31), (34, 35), (32, 33), (36, 37),
+                    (18, 19), (26, 27)]
+
+
 def test_model_shapes():
     params = init_openpose(jax.random.PRNGKey(0))
     x = jnp.zeros((1, 64, 48, 3), jnp.float32)
