@@ -210,10 +210,11 @@ def main():
     # over the tunnel OOMs 16GB HBM next to 10.3GB of weights)
     @jax.jit
     def garm_feats_fn(pg, cond, t):
+        # cond batch only — the CFG uncond half's zero garment KV is folded
+        # in analytically by the attention kernel (garment_uncond_zero)
         _, feats = unet_apply(pg, garm_cfg, cond["cloth_lat"], t,
                               cond["cloth_embeds"], impl=IMPL)
-        return tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0)
-                     for f in feats)
+        return feats
 
     @functools.partial(jax.jit, donate_argnums=(3,))
     def step_fn(pu, pg, cond, lat, t, prev_t, rng, feats_cached=None):
@@ -227,7 +228,8 @@ def main():
         pred, _ = unet_apply(pu, unet_cfg, unet_in, t, cond["context"],
                              added_cond=(cond["add_text_embeds"],
                                          cond["time_ids"]),
-                             garment_features=feats_cfg, impl=IMPL)
+                             garment_features=feats_cfg,
+                             garment_uncond_zero=True, impl=IMPL)
         uncond, condp = jnp.split(pred, 2, axis=0)
         guided = classifier_free_guidance(uncond, condp, guidance)
         noise = jax.random.normal(rng, lat.shape, jnp.float32).astype(lat.dtype)

@@ -76,32 +76,56 @@ def _merge_heads(x):
 
 def self_attention(params, x, *, heads: int,
                    garment_feat: Optional[jnp.ndarray] = None,
+                   garment_uncond_zero: bool = False,
                    impl: Optional[str] = None):
-    """Self-attention; if ``garment_feat`` (B, M, C) is given, keys/values
-    span the concat of own and garment tokens. One fused QKV GEMM runs over
-    the concatenated sequence, and on TPU the flash kernel consumes the GEMM
-    output directly (queries = first N tokens; the reference's doubled-query
-    attention is never computed)."""
+    """Self-attention; if ``garment_feat`` is given, keys/values span the
+    concat of own and garment tokens (reference attn(cat([x, g]))[:, :N],
+    src/attentionhacked_tryon.py:334-348).
+
+    garment_feat is (B, M, C), or (B/2, M, C) with garment_uncond_zero=True:
+    the CFG layout where the leading B/2 rows (uncond half) see all-zero
+    garment KV (reference zeros-concat, src/tryon_pipeline.py:1787). On TPU
+    the flash kernel consumes the QKV GEMM output directly and folds the
+    zero half in analytically (softmax sink) — the zeros are never
+    materialized, projected, or attended.
+    """
     from idmvton_tpu.ops.dispatch import resolve
     b, s, _ = x.shape
+    inner = params["to_out"]["kernel"].shape[0]
+    qkv = linear(params["to_qkv"], x)            # (B, N, 3*inner)
+
+    kv_g = None
     if garment_feat is not None:
-        zin = jnp.concatenate([x, garment_feat.astype(x.dtype)], axis=1)
+        # garment tokens only ever contribute K/V — project with the KV
+        # columns of the fused weight (their Q projection is never used)
+        kv_w = {"kernel": params["to_qkv"]["kernel"][:, inner:]}
+        kv_g = linear(kv_w, garment_feat.astype(x.dtype))  # (Bg, M, 2*inner)
+
+    from idmvton_tpu.ops.pallas_attention import (
+        flash_attention_gemm, flash_attention_gemm_supported,
+    )
+    if resolve(impl) == "pallas" and flash_attention_gemm_supported(inner,
+                                                                    heads):
+        uncond = 0
+        if kv_g is not None and garment_uncond_zero:
+            assert 2 * garment_feat.shape[0] == b, (garment_feat.shape, b)
+            uncond = b // 2
+        out = flash_attention_gemm(qkv, kv_g, heads=heads,
+                                   uncond_rows=uncond)
+        return linear(params["to_out"], out)
+
+    # XLA path (and layouts the kernel doesn't cover)
+    q = _split_heads(qkv[..., :inner], heads)
+    k = _split_heads(qkv[..., inner:2 * inner], heads)
+    v = _split_heads(qkv[..., 2 * inner:], heads)
+    if kv_g is not None:
+        if garment_uncond_zero:
+            kv_g = jnp.concatenate([jnp.zeros_like(kv_g), kv_g], axis=0)
+        k_ref = _split_heads(kv_g[..., :inner], heads)
+        v_ref = _split_heads(kv_g[..., inner:], heads)
+        out = concat_kv_attention(q, k, v, k_ref, v_ref, impl=impl)
     else:
-        zin = x
-    qkv = linear(params["to_qkv"], zin)
-    qkv = qkv.reshape(b, zin.shape[1], 3, heads, -1)
-    if resolve(impl) == "pallas":
-        from idmvton_tpu.ops.pallas_attention import flash_attention_fused_qkv
-        out = flash_attention_fused_qkv(qkv, s)
-    else:
-        q = qkv[:, :s, 0]
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
-        if garment_feat is not None:
-            out = concat_kv_attention(q, k[:, :s], v[:, :s], k[:, s:],
-                                      v[:, s:], impl=impl)
-        else:
-            out = sdpa(q, k, v, impl=impl)
+        out = sdpa(q, k, v, impl=impl)
     return linear(params["to_out"], _merge_heads(out))
 
 
@@ -177,6 +201,7 @@ def init_transformer_block(key, dim: int, *, heads: int, head_dim: int,
 def transformer_block(params, x, context, *, heads: int,
                       garment_mode: str = "none",
                       garment_feat: Optional[jnp.ndarray] = None,
+                      garment_uncond_zero: bool = False,
                       ip_num_tokens: int = 0, ip_scale: float = 1.0,
                       impl: Optional[str] = None
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
@@ -190,6 +215,7 @@ def transformer_block(params, x, context, *, heads: int,
     x = x + self_attention(
         params["attn1"], h, heads=heads,
         garment_feat=garment_feat if garment_mode == "consume" else None,
+        garment_uncond_zero=garment_uncond_zero,
         impl=impl)
     h = layer_norm(params["norm2"], x)
     x = x + cross_attention(params["attn2"], h, context, heads=heads,

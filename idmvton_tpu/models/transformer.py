@@ -39,12 +39,15 @@ def init_transformer2d(key, channels: int, *, depth: int, heads: int,
 def transformer2d(params, x, context, *, heads: int, num_groups: int = 32,
                   garment_mode: str = "none",
                   garment_feats: Optional[Tuple[jnp.ndarray, ...]] = None,
+                  garment_uncond_zero: bool = False,
                   ip_num_tokens: int = 0, ip_scale: float = 1.0,
                   impl: Optional[str] = None
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """x: (B, H, W, C) NHWC.
 
-    - consume mode: ``garment_feats`` must hold one (B, H*W, C) feature per block.
+    - consume mode: ``garment_feats`` must hold one (B, H*W, C) feature per
+      block — or (B/2, H*W, C) with garment_uncond_zero=True (CFG layout,
+      leading half of the batch sees zero garment KV).
     - emit mode: returns the per-block emitted features.
     Returns (output, emitted_features_tuple).
     """
@@ -58,6 +61,7 @@ def transformer2d(params, x, context, *, heads: int, num_groups: int = 32,
         gf = garment_feats[i] if garment_mode == "consume" else None
         hs, em = transformer_block(blk, hs, context, heads=heads,
                                    garment_mode=garment_mode, garment_feat=gf,
+                                   garment_uncond_zero=garment_uncond_zero,
                                    ip_num_tokens=ip_num_tokens,
                                    ip_scale=ip_scale, impl=impl)
         if garment_mode == "emit":

@@ -168,16 +168,25 @@ def _maybe_remat(fn, enabled: bool):
 def unet_apply(params, cfg: UNetConfig, sample, timesteps, context, *,
                added_cond=None,
                garment_features: Optional[Tuple[jnp.ndarray, ...]] = None,
+               garment_uncond_zero: bool = False,
                impl: Optional[str] = None,
                remat: bool = False):
     """sample: (B, H, W, in_channels) NHWC; timesteps: (B,) or scalar;
-    context: (B, S, cross_attention_dim) text [+ ip] tokens."""
+    context: (B, S, cross_attention_dim) text [+ ip] tokens.
+
+    garment_uncond_zero: CFG layout — garment_features carry only the cond
+    half (B/2 rows); the leading B/2 rows attend to all-zero garment KV,
+    which the attention computes analytically instead of materializing the
+    reference's zeros-concat (src/tryon_pipeline.py:1787)."""
     dtype = sample.dtype
     mode = cfg.garment_mode
     if mode == "consume":
         assert garment_features is not None and \
             len(garment_features) == cfg.num_garment_features, \
             (len(garment_features or ()), cfg.num_garment_features)
+        if garment_uncond_zero:
+            assert 2 * garment_features[0].shape[0] == sample.shape[0], \
+                (garment_features[0].shape, sample.shape)
     if jnp.ndim(timesteps) == 0:
         timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -197,6 +206,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, context, *,
         heads = h.shape[-1] // head_dim
         fn = partial(transformer2d, heads=heads, num_groups=ng,
                      garment_mode=mode,
+                     garment_uncond_zero=garment_uncond_zero,
                      ip_num_tokens=cfg.ip_num_tokens if cfg.ip_adapter else 0,
                      ip_scale=cfg.ip_scale, impl=impl)
         h, em = _maybe_remat(

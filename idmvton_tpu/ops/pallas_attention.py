@@ -208,6 +208,293 @@ def flash_attention_concat_kv(q, k, v, k_ref, v_ref, *,
                            block_kv=block_kv)
 
 
+# ---------------------------------------------------------------------------
+# GEMM-layout flash attention (round 2): consumes the fused-QKV projection
+# output (B, N, 3*H*D) DIRECTLY — no transpose, no d-padding copy — and
+# writes merged-head (B, N, H*D) output that to_out consumes as-is.
+#
+# Each 128-lane column block holds 128/D heads (D=64 -> head pairs); garment
+# KV streams from a SECOND GEMM buffer (B_cond rows), and the CFG uncond
+# half's all-zero garment KV (reference zeros-concat,
+# src/tryon_pipeline.py:1787) is folded in ANALYTICALLY: zero logits
+# contribute exactly sink_count*exp(-m) to the softmax denominator and
+# nothing to the numerator, so the kernel initializes (m=0, l=M) for uncond
+# rows and never reads or computes the zero half — exact math, ~1/4 of the
+# attention work and the garment-KV GEMM waste removed.
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
+                       hpb: int, d: int, n_own: int, m_garm: int,
+                       block_kv: int, own_steps: int, n_kv: int,
+                       uncond_rows: int, sink_tokens: int, has_garm: bool):
+    if has_garm:
+        kg_ref, vg_ref, o_ref = rest[:3]
+        scratch = rest[3:]
+    else:
+        o_ref = rest[0]
+        scratch = rest[1:]
+    bi = pl.program_id(0)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        # analytic zero-KV sink: M zero logits = a pre-reduced block with
+        # max 0 and mass M (uncond CFG rows), plus any static sink_tokens
+        sink = jnp.float32(sink_tokens)
+        if has_garm and uncond_rows > 0:
+            sink = sink + jnp.where(bi < uncond_rows,
+                                    jnp.float32(m_garm), jnp.float32(0.0))
+        m0 = jnp.where(sink > 0, 0.0, _NEG_INF)
+        for h in range(hpb):
+            m_ref, l_ref, acc_ref = scratch[3 * h:3 * h + 3]
+            m_ref[:] = jnp.zeros_like(m_ref) + m0
+            l_ref[:] = jnp.zeros_like(l_ref) + sink
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                   # (BQ, 128) = hpb heads
+
+    def process(k, v, base, limit):
+        # zero V's out-of-bounds tail rows: the unpadded edge block holds
+        # garbage there, and garbage * (p == 0) is NaN in the PV contraction
+        row_ok = (base + jax.lax.broadcasted_iota(
+            jnp.int32, (k.shape[0], 1), 0)) < limit
+        v = jnp.where(row_ok, v, 0)
+        for h in range(hpb):
+            m_ref, l_ref, acc_ref = scratch[3 * h:3 * h + 3]
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT) * scale
+            col = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < limit, logits, _NEG_INF)
+            m_prev = m_ref[:, 0][:, None]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1,
+                                                keepdims=True))
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ki < own_steps)
+    def _own():
+        process(ko_ref[0], vo_ref[0], ki * block_kv, n_own)
+
+    if has_garm:
+        is_garm = ki >= own_steps
+        cond = jnp.logical_and(is_garm, bi >= uncond_rows) \
+            if uncond_rows > 0 else is_garm
+
+        @pl.when(cond)
+        def _garm():
+            process(kg_ref[0], vg_ref[0], (ki - own_steps) * block_kv,
+                    m_garm)
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        outs = []
+        for h in range(hpb):
+            m_ref, l_ref, acc_ref = scratch[3 * h:3 * h + 3]
+            l = jnp.maximum(l_ref[:, 0][:, None], 1e-30)
+            outs.append(acc_ref[:] / l)
+        o_ref[0] = (outs[0] if hpb == 1
+                    else jnp.concatenate(outs, axis=1)).astype(o_ref.dtype)
+
+
+def _gemm_ref_xla(qkv, kv_ref, heads: int, scale: float, sink_tokens: int,
+                  uncond_rows: int):
+    """XLA oracle for the GEMM-layout attention (used for the backward pass
+    and as the test reference): materializes the zero sink explicitly."""
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    q = qkv[..., :hd].reshape(b, n, heads, d)
+    k = qkv[..., hd:2 * hd].reshape(b, n, heads, d)
+    v = qkv[..., 2 * hd:].reshape(b, n, heads, d)
+    if kv_ref is not None:
+        m = kv_ref.shape[1]
+        kg = kv_ref[..., :hd].reshape(-1, m, heads, d)
+        vg = kv_ref[..., hd:].reshape(-1, m, heads, d)
+        if uncond_rows > 0:
+            pad = jnp.zeros((uncond_rows, m, heads, d), kg.dtype)
+            kg = jnp.concatenate([pad, kg], axis=0)
+            vg = jnp.concatenate([pad, vg], axis=0)
+        k = jnp.concatenate([k, kg], axis=1)
+        v = jnp.concatenate([v, vg], axis=1)
+    if sink_tokens > 0:
+        z = jnp.zeros((b, sink_tokens, heads, d), k.dtype)
+        k = jnp.concatenate([k, z], axis=1)
+        v = jnp.concatenate([v, z], axis=1)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(b, n, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
+                     block_q, block_kv):
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    hpb = _LANE // d                     # heads per 128-lane column block
+    cb = hd // _LANE                     # column blocks per section
+    has_garm = kv_ref is not None
+    m_garm = kv_ref.shape[1] if has_garm else 0
+
+    block_q = min(block_q, _round_up(n, 128))
+    block_kv = min(block_kv, _round_up(max(n, m_garm), 128))
+    own_steps = _cdiv(n, block_kv)
+    garm_steps = _cdiv(m_garm, block_kv) if has_garm else 0
+    n_kv = own_steps + garm_steps
+    nq = _cdiv(n, block_q)
+    grid = (b, cb, nq, n_kv)
+
+    def qkv_spec(which):
+        # which: 0=q, 1=k_own, 2=v_own (column-block offset which*cb).
+        # k/v stay STATIONARY during garment steps (clamped index => the
+        # pipeline skips the re-fetch).
+        def imap(bi, ci, qi, ki, _which=which):
+            if _which == 0:
+                return (bi, qi, ci)
+            row = jnp.minimum(ki, own_steps - 1)
+            return (bi, row, _which * cb + ci)
+        blk = block_q if which == 0 else block_kv
+        return pl.BlockSpec((1, blk, _LANE), imap)
+
+    def garm_spec(which):
+        # which: 0=k_g, 1=v_g. kv_ref has (b - uncond_rows) rows; uncond
+        # rows clamp to row 0 and stay stationary (never computed).
+        def imap(bi, ci, qi, ki, _which=which):
+            row = jnp.clip(ki - own_steps, 0, max(garm_steps - 1, 0))
+            if uncond_rows > 0:
+                bg = jnp.maximum(bi - uncond_rows, 0)
+                row = jnp.where(bi < uncond_rows, 0, row)
+            else:
+                bg = bi
+            return (bg, row, _which * cb + ci)
+        return pl.BlockSpec((1, block_kv, _LANE), imap)
+
+    kernel = functools.partial(
+        _flash_kernel_gemm, scale=float(scale), hpb=hpb, d=d, n_own=n,
+        m_garm=m_garm, block_kv=block_kv, own_steps=own_steps, n_kv=n_kv,
+        uncond_rows=uncond_rows, sink_tokens=sink_tokens, has_garm=has_garm)
+
+    in_specs = [qkv_spec(0), qkv_spec(1), qkv_spec(2)]
+    inputs = [qkv, qkv, qkv]
+    if has_garm:
+        in_specs += [garm_spec(0), garm_spec(1)]
+        inputs += [kv_ref, kv_ref]
+
+    scratch = []
+    for _ in range(hpb):
+        scratch += [pltpu.VMEM((block_q, _LANE), jnp.float32),   # m
+                    pltpu.VMEM((block_q, _LANE), jnp.float32),   # l
+                    pltpu.VMEM((block_q, d), jnp.float32)]       # acc
+
+    nbytes = jnp.dtype(qkv.dtype).itemsize
+    kv_bytes = (qkv.size + (kv_ref.size if has_garm else 0)) * nbytes
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, _LANE),
+                               lambda bi, ci, qi, ki: (bi, qi, ci)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            # fp32 logits tiles for 2 heads/step exceed the default 16MB
+            # scoped-vmem budget at 1024x1536 blocks; v5e has headroom
+            vmem_limit_bytes=GEMM_VMEM_LIMIT_MB * 1024 * 1024,
+        ) if jax.default_backend() == "tpu" else None,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * (n + m_garm) * d,
+            bytes_accessed=kv_bytes + b * n * hd * nbytes,
+            transcendentals=b * heads * n * (n + m_garm),
+        ),
+        interpret=(jax.default_backend() != "tpu"),
+    )(*inputs)
+    return out
+
+
+def _flash_gemm_fwd(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
+                    block_q, block_kv):
+    out = _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens,
+                           uncond_rows, block_q, block_kv)
+    return out, (qkv, kv_ref)
+
+
+def _flash_gemm_bwd(heads, scale, sink_tokens, uncond_rows, block_q,
+                    block_kv, residuals, g):
+    qkv, kv_ref = residuals
+    if kv_ref is None:
+        _, vjp = jax.vjp(
+            lambda q_: _gemm_ref_xla(q_, None, heads, scale, sink_tokens,
+                                     uncond_rows), qkv)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda q_, r_: _gemm_ref_xla(q_, r_, heads, scale, sink_tokens,
+                                     uncond_rows), qkv, kv_ref)
+    return vjp(g)
+
+
+_flash_gemm_core.defvjp(_flash_gemm_fwd, _flash_gemm_bwd)
+
+# tuned on v5e (scripts/ab_step.py): 1536x1536 235.7ms vs 1024x1536 238.9,
+# 2048x1024 242.3, 1024x1024 246.6, 512x3072 243.5 (full tryon fwd, b4)
+DEFAULT_GEMM_BLOCK_KV = int(os.environ.get("IDMVTON_FLASH_GEMM_BLOCK_KV",
+                                           "1536"))
+DEFAULT_GEMM_BLOCK_Q = int(os.environ.get("IDMVTON_FLASH_GEMM_BLOCK_Q",
+                                          "1536"))
+GEMM_VMEM_LIMIT_MB = int(os.environ.get("IDMVTON_FLASH_GEMM_VMEM_MB", "40"))
+
+
+def flash_attention_gemm(qkv, kv_ref=None, *, heads: int,
+                         scale: Optional[float] = None,
+                         sink_tokens: int = 0, uncond_rows: int = 0,
+                         block_q: Optional[int] = None,
+                         block_kv: Optional[int] = None):
+    """Flash attention directly over fused-QKV GEMM output.
+
+    qkv:    (B, N, 3*H*D) — the to_qkv projection of the OWN tokens only.
+    kv_ref: (B - uncond_rows, M, 2*H*D) — optional garment-token K|V
+            projection (to_qkv's KV columns applied to the garment feature).
+    uncond_rows: leading batch rows (CFG uncond half) whose garment KV is
+            identically zero — handled analytically (softmax sink of M zero
+            logits), no compute or DMA spent on them.
+    sink_tokens: extra all-zero KV tokens for EVERY row (generality/tests).
+
+    Returns (B, N, H*D) merged-head output. Requires H*D % 128 == 0 and
+    D in {8,16,32,64,128} dividing 128 (SDXL: D=64 -> head-pair blocks).
+    """
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    if kv_ref is not None and uncond_rows > 0:
+        assert kv_ref.shape[0] == b - uncond_rows, (kv_ref.shape, b,
+                                                    uncond_rows)
+    scale = scale if scale is not None else d ** -0.5
+    return _flash_gemm_core(qkv, kv_ref, heads, float(scale),
+                            int(sink_tokens), int(uncond_rows),
+                            block_q or DEFAULT_GEMM_BLOCK_Q,
+                            block_kv or DEFAULT_GEMM_BLOCK_KV)
+
+
+def flash_attention_gemm_supported(inner: int, heads: int) -> bool:
+    d = inner // heads
+    return inner % _LANE == 0 and d <= _LANE and _LANE % d == 0
+
+
 def _flash_kernel_fused(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                         scale: float, kv_len: int, block_kv: int):
     """Same online-softmax body, 5-D refs (the three inputs alias one fused

@@ -264,13 +264,14 @@ class TryonPipeline:
 
     def garment_features(self, params: dict, cond: dict, t, *,
                          impl: Optional[str] = None):
-        """GarmentNet forward on the cond batch only (B), CFG-expanded with a
-        zero uncond half (tryon_pipeline.py:1787,1795)."""
+        """GarmentNet forward on the cond batch only (B). The CFG uncond
+        half's zero features (tryon_pipeline.py:1787,1795) are NOT
+        materialized — the TryonNet attends with garment_uncond_zero=True,
+        which folds the zero KV in analytically (exact same math)."""
         _, feats = unet_apply(params["garm"], self.models.garm_cfg,
                               cond["cloth_lat"], t, cond["cloth_embeds"],
                               impl=impl)
-        return tuple(
-            jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+        return feats
 
     def denoise_step(self, params: dict, cond: dict, latents, t, prev_t,
                      step_rng=None, *, guidance_scale: float = 2.0,
@@ -302,7 +303,7 @@ class TryonPipeline:
         noise_pred, _ = unet_apply(
             params["unet"], m.unet_cfg, unet_in, t, cond["context"],
             added_cond=(cond["add_text_embeds"], cond["time_ids"]),
-            garment_features=feats_cfg, impl=impl)
+            garment_features=feats_cfg, garment_uncond_zero=True, impl=impl)
         uncond, condp = jnp.split(noise_pred, 2, axis=0)
         guided = classifier_free_guidance(uncond, condp, guidance_scale,
                                           guidance_rescale)

@@ -114,6 +114,118 @@ def test_fused_qkv_flash_no_garment():
                                atol=2e-2, rtol=2e-2)
 
 
+# ---------------------------------------------------------------------------
+# GEMM-layout flash attention (round 2 kernel): no transpose/pad, head-pair
+# column blocks, analytic zero-KV sink for the CFG uncond half
+# ---------------------------------------------------------------------------
+
+
+def _gemm_inputs(b, n, m, heads, d, key=0, dtype=jnp.float32):
+    hd = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(key), 2)
+    qkv = jax.random.normal(ks[0], (b, n, 3 * hd), dtype)
+    kv_ref = jax.random.normal(ks[1], (b, m, 2 * hd), dtype) if m else None
+    return qkv, kv_ref
+
+
+@pytest.mark.parametrize("heads,d", [(2, 64), (1, 128), (4, 32)])
+def test_flash_gemm_plain_matches_oracle(heads, d):
+    from idmvton_tpu.ops.pallas_attention import (
+        flash_attention_gemm, _gemm_ref_xla)
+    qkv, _ = _gemm_inputs(2, 200, 0, heads, d)
+    ref = _gemm_ref_xla(qkv, None, heads, d ** -0.5, 0, 0)
+    out = flash_attention_gemm(qkv, heads=heads)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_flash_gemm_garment_matches_concat_reference():
+    """kv_ref streaming == the reference attn(cat([x, g]))[:, :N]."""
+    from idmvton_tpu.ops.pallas_attention import flash_attention_gemm
+    b, n, m, heads, d = 2, 96, 160, 2, 64
+    hd = heads * d
+    qkv, kv_ref = _gemm_inputs(b, n, m, heads, d, key=3)
+    q = qkv[..., :hd].reshape(b, n, heads, d)
+    k = jnp.concatenate([qkv[..., hd:2 * hd].reshape(b, n, heads, d),
+                         kv_ref[..., :hd].reshape(b, m, heads, d)], axis=1)
+    v = jnp.concatenate([qkv[..., 2 * hd:].reshape(b, n, heads, d),
+                         kv_ref[..., hd:].reshape(b, m, heads, d)], axis=1)
+    ref = sdpa(q, k, v, impl="xla").reshape(b, n, hd)
+    out = flash_attention_gemm(qkv, kv_ref, heads=heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_flash_gemm_uncond_sink_is_exact_zero_kv():
+    """uncond_rows: leading rows' analytic sink == explicit zero garment KV
+    (the reference's zeros-concat, src/tryon_pipeline.py:1787)."""
+    from idmvton_tpu.ops.pallas_attention import (
+        flash_attention_gemm, _gemm_ref_xla)
+    b, n, m, heads, d = 4, 128, 128, 2, 64
+    qkv, kv_full = _gemm_inputs(b, n, m, heads, d, key=5)
+    kv_cond = kv_full[b // 2:]
+    out = flash_attention_gemm(qkv, kv_cond, heads=heads,
+                               uncond_rows=b // 2)
+    # oracle: explicit zeros for the uncond half
+    kv_explicit = jnp.concatenate(
+        [jnp.zeros_like(kv_cond), kv_cond], axis=0)
+    ref = _gemm_ref_xla(qkv, kv_explicit, heads, d ** -0.5, 0, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_flash_gemm_sink_tokens():
+    from idmvton_tpu.ops.pallas_attention import (
+        flash_attention_gemm, _gemm_ref_xla)
+    qkv, _ = _gemm_inputs(1, 130, 0, 2, 64, key=7)
+    ref = _gemm_ref_xla(qkv, None, 2, 64 ** -0.5, 37, 0)
+    out = flash_attention_gemm(qkv, heads=2, sink_tokens=37)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_flash_gemm_grad_matches_oracle():
+    from idmvton_tpu.ops.pallas_attention import (
+        flash_attention_gemm, _gemm_ref_xla)
+    qkv, kv_ref = _gemm_inputs(2, 64, 64, 2, 64, key=9)
+    kv_cond = kv_ref[1:]
+
+    def loss_pl(a, r):
+        return jnp.sum(flash_attention_gemm(a, r, heads=2,
+                                            uncond_rows=1) ** 2)
+
+    def loss_ref(a, r):
+        r_full = jnp.concatenate([jnp.zeros_like(r), r], axis=0)
+        return jnp.sum(_gemm_ref_xla(a, r_full, 2, 64 ** -0.5, 0, 0) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(qkv, kv_cond)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, kv_cond)
+    np.testing.assert_allclose(np.asarray(g_pl[0]), np.asarray(g_ref[0]),
+                               atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(g_pl[1]), np.asarray(g_ref[1]),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_self_attention_uncond_zero_equals_explicit_zeros():
+    """Module level: cond-half feats + garment_uncond_zero == full-batch
+    feats with an explicit zeros half (both impls)."""
+    from idmvton_tpu.models.attention import init_attention, self_attention
+    b, n, m, heads, d = 4, 64, 64, 2, 64
+    params = init_attention(jax.random.PRNGKey(0), heads * d, heads=heads,
+                            head_dim=d, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, heads * d))
+    feat = jax.random.normal(jax.random.PRNGKey(2), (b // 2, m, heads * d))
+    feat_full = jnp.concatenate([jnp.zeros_like(feat), feat], axis=0)
+    for impl in ("xla", "pallas"):
+        out_new = self_attention(params, x, heads=heads, garment_feat=feat,
+                                 garment_uncond_zero=True, impl=impl)
+        out_ref = self_attention(params, x, heads=heads,
+                                 garment_feat=feat_full, impl=impl)
+        np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
+                                   atol=3e-3, rtol=3e-3)
+
+
 def test_fused_layer_norm_matches():
     from idmvton_tpu.ops.pallas_norm import fused_layer_norm, _xla_ln
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 256), jnp.bfloat16)
