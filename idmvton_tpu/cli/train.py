@@ -35,12 +35,28 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adamw8bit", "adafactor"],
+                   help="adamw8bit = int8-moment AdamW (reference "
+                        "--use_8bit_adam, train_xl.py:412-420)")
+    p.add_argument("--eval_steps", type=int, default=None,
+                   help="run try-on inference on one test batch every N "
+                        "steps, saving {step}_{i}_test.jpg to output_dir "
+                        "(reference train_xl.py:492-594)")
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--guidance_scale", type=float, default=2.0)
+    p.add_argument("--test_batch_size", type=int, default=2)
+    p.add_argument("--no_aug", action="store_true",
+                   help="disable color-jitter/affine train augs "
+                        "(train_xl.py:152-216)")
     p.add_argument("--num_train_epochs", type=int, default=130)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--checkpointing_steps", type=int, default=1000)
     p.add_argument("--logging_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random models (smoke tests)")
     p.add_argument("--resume_from_checkpoint", default=None,
                    help="train-state dir written by --state_dir")
     p.add_argument("--state_dir", default=None,
@@ -72,11 +88,13 @@ def main(argv=None):
     elif args.pretrained:
         models = load_pipeline(args.pretrained, dtype)
     else:
-        models = TryonModels.init(jax.random.PRNGKey(0), tiny=False, dtype=dtype)
+        models = TryonModels.init(jax.random.PRNGKey(0), tiny=args.tiny,
+                                  dtype=dtype)
 
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(args.learning_rate, args.weight_decay,
-                        max_grad_norm=args.max_grad_norm)
+                        max_grad_norm=args.max_grad_norm,
+                        optimizer=args.optimizer)
     state = init_train_state(models, tx)
     step_fn = jax.jit(make_train_step(models, sched, tx,
                                       snr_gamma=args.snr_gamma,
@@ -102,21 +120,80 @@ def main(argv=None):
 
     ds = VitonHDDataset(args.data_dir, phase="train",
                         size=(args.height, args.width), hflip_prob=0.5,
+                        aug_color_jitter=not args.no_aug,
+                        aug_affine=not args.no_aug,
                         seed=args.seed)
     loader = BatchLoader(ds, global_batch, shuffle=True, drop_last=True,
                          seed=args.seed)
+
+    def run_eval(state, gstep):
+        """In-train try-on eval on one test batch: builds a pipeline around
+        the CURRENT trained unet+resampler and saves {step}_{i}_test.jpg
+        (reference train_xl.py:492-594)."""
+        from idmvton_tpu.pipeline.tryon import TryonPipeline
+        from idmvton_tpu.data.image import save_image
+        try:
+            test_ds = VitonHDDataset(args.data_dir, phase="test",
+                                     size=(args.height, args.width))
+        except FileNotFoundError:
+            print("eval skipped: no test split found")
+            return
+        trained = models.with_params({
+            "unet": jax.tree_util.tree_map(
+                lambda x: x.astype(dtype), state.trainable["unet"]),
+            "resampler": jax.tree_util.tree_map(
+                lambda x: x.astype(dtype), state.trainable["resampler"]),
+        })
+        pipe = TryonPipeline(trained, DDPMScheduler(
+            SchedulerConfig.sdxl_inference()))
+        gen = (pipe.stepwise_generate if jax.default_backend() == "tpu"
+               else pipe.jit_generate)(
+            num_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale)
+        for batch in BatchLoader(test_ds, args.test_batch_size):
+            b = batch["person"].shape[0]
+            neg = ["monochrome, lowres, bad anatomy, worst quality, "
+                   "low quality"] * b
+            isz = models.vision_cfg.image_size
+            ip = batch["ip_pixels"]
+            if ip.shape[1] != isz:
+                ip = jax.image.resize(jnp.asarray(ip), (b, isz, isz, 3),
+                                      "bilinear")
+            images = gen(trained.params(), jax.random.PRNGKey(args.seed),
+                         person=jnp.asarray(batch["person"], dtype),
+                         mask=jnp.asarray(batch["mask"], dtype),
+                         pose=jnp.asarray(batch["pose"], dtype),
+                         cloth=jnp.asarray(batch["cloth"], dtype),
+                         ip_pixels=jnp.asarray(ip, dtype),
+                         prompt_ids_l=jnp.asarray(tok1(batch["caption"])),
+                         prompt_ids_g=jnp.asarray(tok2(batch["caption"])),
+                         neg_ids_l=jnp.asarray(tok1(neg)),
+                         neg_ids_g=jnp.asarray(tok2(neg)),
+                         cloth_ids_l=jnp.asarray(tok1(batch["caption_cloth"])),
+                         cloth_ids_g=jnp.asarray(tok2(batch["caption_cloth"])))
+            save_image(np.asarray(images),
+                       [os.path.join(args.output_dir,
+                                     f"{gstep}_{i}_test.jpg")
+                        for i in range(b)])
+            break  # one batch, like the reference
+        print(f"eval images -> {args.output_dir}/{gstep}_*_test.jpg")
 
     rng = jax.random.PRNGKey(args.seed)
     gstep = int(state.step)
     t0 = time.time()
     for epoch in range(args.num_train_epochs):
         for batch in loader:
+            ip = batch["ip_pixels"]
+            isz = models.vision_cfg.image_size
+            if ip.shape[1] != isz:
+                ip = jax.image.resize(jnp.asarray(ip),
+                                      (ip.shape[0], isz, isz, 3), "bilinear")
             jb = dict(
                 person=jnp.asarray(batch["person"], dtype),
                 mask=jnp.asarray(batch["mask"], dtype),
                 pose=jnp.asarray(batch["pose"], dtype),
                 cloth=jnp.asarray(batch["cloth"], dtype),
-                ip_pixels=jnp.asarray(batch["ip_pixels"], dtype),
+                ip_pixels=jnp.asarray(ip, dtype),
                 prompt_ids_l=jnp.asarray(tok1(batch["caption"])),
                 prompt_ids_g=jnp.asarray(tok2(batch["caption"])),
                 cloth_ids_l=jnp.asarray(tok1(batch["caption_cloth"])),
@@ -133,6 +210,9 @@ def main(argv=None):
                 print(f"epoch {epoch} step {gstep}: loss {loss:.4f} "
                       f"grad_norm {float(metrics['grad_norm']):.3f} "
                       f"({ips:.2f} img/s)")
+            if args.eval_steps and gstep % args.eval_steps == 0:
+                os.makedirs(args.output_dir, exist_ok=True)
+                run_eval(state, gstep)
             if gstep % args.checkpointing_steps == 0 or \
                     (args.max_steps and gstep >= args.max_steps):
                 out = os.path.join(args.output_dir, f"step_{gstep}")

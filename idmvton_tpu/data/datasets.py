@@ -4,8 +4,8 @@ Mirrors the reference datasets' on-disk contract and outputs:
 - VitonHDDataset (test): reference VitonHDTestDataset (inference.py:75-196) —
   pairs file, tagged-JSON captions, precomputed agnostic-mask + densepose.
 - VitonHDDataset (train): reference train dataset (train_xl.py:31-250) with
-  optional augmentations (hflip / color jitter handled here; affine left to
-  future rounds).
+  the reference's augmentations (hflip / color jitter / affine scale +
+  translate — train_xl.py:152-216, implemented in data/augment.py).
 
 DressCode lives in data/dresscode.py (needs the on-the-fly agnostic-mask
 compositor from preprocess/).
@@ -51,11 +51,14 @@ class VitonHDDataset:
 
     def __init__(self, dataroot: str, *, phase: str = "test",
                  order: str = "paired", size: Tuple[int, int] = (1024, 768),
-                 hflip_prob: float = 0.0, seed: int = 0):
+                 hflip_prob: float = 0.0, aug_color_jitter: bool = False,
+                 aug_affine: bool = False, seed: int = 0):
         self.dataroot = dataroot
         self.phase = phase
         self.height, self.width = size
         self.hflip_prob = hflip_prob
+        self.aug_color_jitter = aug_color_jitter
+        self.aug_affine = aug_affine
         self._rng = random.Random(seed)
 
         tagged = os.path.join(dataroot, phase, f"vitonhd_{phase}_tagged.json")
@@ -96,11 +99,42 @@ class VitonHDDataset:
             "agnostic-mask", im_name.replace(".jpg", "_mask.png"))), size)
         pose = normalize_pm1(Image.open(self._path("image-densepose", im_name)), size)
         cloth = normalize_pm1(cloth_pil, size)
-        ip_pixels = clip_preprocess(cloth_pil)
 
         if self.hflip_prob > 0 and self._rng.random() < self.hflip_prob:
             person, mask, pose, cloth = (np.ascontiguousarray(x[:, ::-1])
                                          for x in (person, mask, pose, cloth))
+            cloth_pil = cloth_pil.transpose(Image.FLIP_LEFT_RIGHT)
+
+        if self.aug_color_jitter and self._rng.random() < 0.5:
+            # jitter person + cloth with ONE parameter draw; the CLIP image
+            # is computed from the jittered cloth (train_xl.py:161-173,222)
+            from idmvton_tpu.data.augment import (color_jitter,
+                                                  sample_jitter_params)
+            b, c, s, h = sample_jitter_params(self._rng)
+            person = color_jitter((person + 1.0) / 2.0, b, c, s, h) * 2.0 - 1.0
+            cloth01 = np.asarray(cloth_pil.convert("RGB"),
+                                 np.float32) / 255.0
+            cloth01 = color_jitter(cloth01, b, c, s, h)
+            cloth_pil = Image.fromarray(
+                (cloth01 * 255.0).round().astype(np.uint8))
+            cloth = normalize_pm1(cloth_pil, size)
+
+        if self.aug_affine and self._rng.random() < 0.5:
+            # scale about center: image/mask/pose, NOT cloth
+            # (train_xl.py:176-188)
+            from idmvton_tpu.data.augment import affine_nearest
+            sc = self._rng.uniform(0.8, 1.2)
+            person, mask, pose = (affine_nearest(x, scale=sc)
+                                  for x in (person, mask, pose))
+        if self.aug_affine and self._rng.random() < 0.5:
+            # translate: image/mask/pose (train_xl.py:190-216)
+            from idmvton_tpu.data.augment import affine_nearest
+            tx = self._rng.uniform(-0.2, 0.2) * self.width
+            ty = self._rng.uniform(-0.2, 0.2) * self.height
+            person, mask, pose = (affine_nearest(x, translate=(tx, ty))
+                                  for x in (person, mask, pose))
+
+        ip_pixels = clip_preprocess(cloth_pil)
 
         return {
             "im_name": im_name,

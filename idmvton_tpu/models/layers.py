@@ -77,23 +77,27 @@ def linear(params, x, *, precision=None):
 
 import os
 
-_CONV_NATIVE_OUT = os.environ.get("IDMVTON_CONV_NATIVE_OUT") == "1"
+# fp32 conv outputs (+fused convert) vs native-dtype outputs were measured
+# perf-neutral on v5e; native is now the DEFAULT because the fp32 variant's
+# mixed-dtype backward conv (fp32 cotangent x bf16 kernel) is rejected by
+# lax.conv_general_dilated under bf16 training. The MXU accumulates in fp32
+# internally either way, so outputs are bit-identical.
+_CONV_FP32_OUT = os.environ.get("IDMVTON_CONV_FP32_OUT") == "1"
 
 
 def conv2d(params, x, *, stride: int = 1, padding="SAME"):
     """NHWC conv. ``padding`` is "SAME", "VALID" or explicit pairs.
 
     The MXU accumulates bf16 convs in fp32 internally either way;
-    IDMVTON_CONV_NATIVE_OUT=1 emits the input dtype directly instead of
-    fp32 + a fused convert (perf experiment toggle).
-    """
+    IDMVTON_CONV_FP32_OUT=1 requests an fp32 output + fused convert instead
+    (measured neutral; breaks bf16 training's backward conv)."""
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=None if _CONV_NATIVE_OUT else jnp.float32,
+        preferred_element_type=jnp.float32 if _CONV_FP32_OUT else None,
     ).astype(x.dtype)
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)

@@ -1,0 +1,118 @@
+"""Memory-saving AdamW with int8-quantized moments (pure jnp, TPU-native).
+
+The reference offers bitsandbytes AdamW8bit (--use_8bit_adam,
+train_xl.py:412-422) to cut optimizer-state HBM: both Adam moments stored
+as 8-bit with block-wise scales. This is the XLA equivalent: per-block
+(256-element) DYNAMIC (log-spaced) 8-bit quantization of mu and nu —
+2 bytes/param of moment state (+ ~2% scales) instead of 8; dequantize ->
+update -> requantize each step, all fused by XLA on device. The update math
+between quantization points is exactly AdamW.
+
+A LINEAR absmax int8 map is catastrophically wrong here: nu (a square) has
+twice the dynamic range of the gradients, so small-but-active coordinates
+quantize to nu=0 and the next step divides mu by eps — measured parameter
+blow-ups within 5 steps. bnb's dynamic data type exists precisely for this;
+ours is the analytic equivalent: code i in [-127, 127] represents
+sign(i) * 10**(SPAN * (|i|/127 - 1)) * absmax, i.e. log-spaced levels
+covering 10^-SPAN..1 relative to the block max (SPAN=7 like bnb's ~1e-7
+smallest normal level; relative step 10**(SPAN/127) ~ 13%).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+_BLOCK = 256
+_SPAN = 7.0      # decades of dynamic range below the block absmax
+
+
+class _QTensor(NamedTuple):
+    q: jnp.ndarray          # int8 (nblocks, _BLOCK), log-map code
+    scale: jnp.ndarray      # fp32 (nblocks, 1), block absmax
+
+
+def _quantize(x: jnp.ndarray) -> _QTensor:
+    flat = x.astype(jnp.float32).ravel()
+    pad = (-flat.size) % _BLOCK
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, _BLOCK)
+    scale = jnp.maximum(jnp.max(jnp.abs(blocks), axis=-1, keepdims=True),
+                        1e-30)
+    a = jnp.abs(blocks) / scale                       # (0, 1]
+    mag = jnp.round(127.0 * (jnp.log10(jnp.maximum(a, 1e-30)) / _SPAN + 1.0))
+    mag = jnp.clip(mag, 0.0, 127.0)
+    q = (jnp.sign(blocks) * mag).astype(jnp.int8)
+    return _QTensor(q=q, scale=scale)
+
+
+def _dequantize(qt: _QTensor, shape) -> jnp.ndarray:
+    mag = jnp.abs(qt.q.astype(jnp.float32))
+    val = jnp.where(mag > 0,
+                    jnp.exp2(jnp.float32(_SPAN * 3.321928094887362)
+                             * (mag / 127.0 - 1.0)),
+                    0.0)
+    flat = (jnp.sign(qt.q.astype(jnp.float32)) * val * qt.scale).ravel()
+    n = 1
+    for s in shape:
+        n *= s
+    return flat[:n].reshape(shape)
+
+
+def _q_zeros(p: jnp.ndarray) -> _QTensor:
+    nblocks = -(-p.size // _BLOCK)
+    return _QTensor(q=jnp.zeros((nblocks, _BLOCK), jnp.int8),
+                    scale=jnp.full((nblocks, 1), 1e-30, jnp.float32))
+
+
+class ScaleByAdamInt8State(NamedTuple):
+    count: jnp.ndarray
+    mu: dict
+    nu: dict
+
+
+def scale_by_adam_int8(b1: float = 0.9, b2: float = 0.999,
+                       eps: float = 1e-8) -> optax.GradientTransformation:
+    def init_fn(params):
+        return ScaleByAdamInt8State(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(_q_zeros, params),
+            nu=jax.tree_util.tree_map(_q_zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, mu_q, nu_q):
+            g32 = g.astype(jnp.float32)
+            mu = b1 * _dequantize(mu_q, g.shape) + (1 - b1) * g32
+            nu = b2 * _dequantize(nu_q, g.shape) + (1 - b2) * g32 * g32
+            step = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            return step.astype(g.dtype), _quantize(mu), _quantize(nu)
+
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        out = [upd(g, m, n) for g, m, n in zip(flat_u, flat_mu, flat_nu)]
+        new_updates = treedef.unflatten([o[0] for o in out])
+        new_mu = treedef.unflatten([o[1] for o in out])
+        new_nu = treedef.unflatten([o[2] for o in out])
+        return new_updates, ScaleByAdamInt8State(count=count, mu=new_mu,
+                                                 nu=new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_int8(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-8,
+               weight_decay: float = 1e-2) -> optax.GradientTransformation:
+    return optax.chain(
+        scale_by_adam_int8(b1=b1, b2=b2, eps=eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale(-learning_rate),
+    )

@@ -43,12 +43,27 @@ class TrainState:
 
 def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
                    b1: float = 0.9, b2: float = 0.999,
-                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(learning_rate, b1=b1, b2=b2, eps=1e-8,
-                    weight_decay=weight_decay),
-    )
+                   max_grad_norm: float = 1.0,
+                   optimizer: str = "adamw") -> optax.GradientTransformation:
+    """optimizer:
+    - "adamw": fp32 moments (reference default, train_xl.py:421).
+    - "adamw8bit": int8 block-quantized moments — the reference's
+      bitsandbytes --use_8bit_adam analog (train_xl.py:412-420), 4x less
+      optimizer-state HBM (train/quant_opt.py).
+    - "adafactor": factored second moment (beyond-parity low-memory option).
+    """
+    if optimizer == "adamw8bit":
+        from idmvton_tpu.train.quant_opt import adamw_int8
+        inner = adamw_int8(learning_rate, b1=b1, b2=b2, eps=1e-8,
+                           weight_decay=weight_decay)
+    elif optimizer == "adafactor":
+        inner = optax.adafactor(learning_rate)
+    elif optimizer == "adamw":
+        inner = optax.adamw(learning_rate, b1=b1, b2=b2, eps=1e-8,
+                            weight_decay=weight_decay)
+    else:
+        raise ValueError(optimizer)
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
 
 
 def init_train_state(models: TryonModels,

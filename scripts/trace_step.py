@@ -26,12 +26,12 @@ for lvl, n_blocks in ((1, 4), (2, 20), (2, 10), (2, 30), (1, 6)):
     c = (320, 640, 1280)[lvl]
     for i in range(n_blocks):
         feats.append(jax.random.normal(
-            jax.random.PRNGKey(100 + len(feats)), (B2, s, c), dtype))
+            jax.random.PRNGKey(100 + len(feats)), (B2 // 2, s, c), dtype))
 feats = tuple(feats)
 
 f = jax.jit(lambda p, x, t, c, fe, pl, ti: jnp.sum(unet_apply(
     p, unet_cfg, x, t, c, added_cond=(pl, ti),
-    garment_features=fe)[0].astype(jnp.float32)))
+    garment_features=fe, garment_uncond_zero=True)[0].astype(jnp.float32)))
 float(f(p, x, jnp.int32(500), ctx, feats, pooled, tids))
 
 jax.profiler.start_trace("/tmp/jaxtrace")
