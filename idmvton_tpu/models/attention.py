@@ -77,6 +77,7 @@ def _merge_heads(x):
 def self_attention(params, x, *, heads: int,
                    garment_feat: Optional[jnp.ndarray] = None,
                    garment_uncond_zero: bool = False,
+                   norm: Optional[dict] = None,
                    impl: Optional[str] = None):
     """Self-attention; if ``garment_feat`` is given, keys/values span the
     concat of own and garment tokens (reference attn(cat([x, g]))[:, :N],
@@ -90,9 +91,17 @@ def self_attention(params, x, *, heads: int,
     materialized, projected, or attended.
     """
     from idmvton_tpu.ops.dispatch import resolve
+    from idmvton_tpu.ops.pallas_norm import ln_linear, ln_linear_supported
     b, s, _ = x.shape
     inner = params["to_out"]["kernel"].shape[0]
-    qkv = linear(params["to_qkv"], x)            # (B, N, 3*inner)
+    if norm is not None and resolve(impl) == "pallas" and \
+            ln_linear_supported(x, params["to_qkv"]["kernel"]):
+        # fused pre-attention LayerNorm + QKV projection (one x read)
+        qkv = ln_linear(x, norm, params["to_qkv"])
+    else:
+        if norm is not None:
+            x = layer_norm(norm, x)
+        qkv = linear(params["to_qkv"], x)        # (B, N, 3*inner)
 
     kv_g = None
     if garment_feat is not None:
@@ -131,13 +140,22 @@ def self_attention(params, x, *, heads: int,
 
 def cross_attention(params, x, context, *, heads: int,
                     ip_num_tokens: int = 0, ip_scale: float = 1.0,
+                    norm: Optional[dict] = None,
                     impl: Optional[str] = None):
     """Cross-attention over text context, with optional decoupled IP branch.
 
     ``context`` is (B, S_text [+ ip_num_tokens], C). When the params carry
     to_kv_ip, the trailing ip tokens get their own K/V and an independently-
     normalized softmax (IPAttnProcessor2_0 semantics)."""
-    q = _split_heads(linear(params["to_q"], x), heads)
+    from idmvton_tpu.ops.dispatch import resolve
+    from idmvton_tpu.ops.pallas_norm import ln_linear, ln_linear_supported
+    if norm is not None and resolve(impl) == "pallas" and \
+            ln_linear_supported(x, params["to_q"]["kernel"]):
+        q = _split_heads(ln_linear(x, norm, params["to_q"]), heads)
+    else:
+        if norm is not None:
+            x = layer_norm(norm, x)
+        q = _split_heads(linear(params["to_q"], x), heads)
 
     def kv(p, ctx):
         h = linear(p, ctx)
@@ -169,7 +187,17 @@ def init_feedforward(key, dim: int, *, mult: int = 4, dtype=jnp.bfloat16):
     }
 
 
-def feedforward(params, x):
+def feedforward(params, x, *, norm: Optional[dict] = None,
+                impl: Optional[str] = None):
+    from idmvton_tpu.ops.dispatch import resolve
+    from idmvton_tpu.ops.pallas_norm import ln_linear, ln_linear_supported
+    if norm is not None and resolve(impl) == "pallas" and \
+            ln_linear_supported(x, params["proj_in"]["kernel"], geglu=True):
+        # fused LN + proj_in + GEGLU: skips the (.., 2*4C) HBM round-trip
+        h = ln_linear(x, norm, params["proj_in"], geglu=True)
+        return linear(params["proj_out"], h)
+    if norm is not None:
+        x = layer_norm(norm, x)
     h = linear(params["proj_in"], x)
     value, gate = jnp.split(h, 2, axis=-1)
     h = value * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
@@ -207,20 +235,22 @@ def transformer_block(params, x, context, *, heads: int,
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (hidden_states, emitted_garment_feature_or_None)."""
     emitted = None
-    h = layer_norm(params["norm1"], x)
     if garment_mode == "emit":
         # GarmentNet captures the post-norm1, pre-attention hidden states
-        # (reference: src/attentionhacked_garmnet.py:321-322).
+        # (reference: src/attentionhacked_garmnet.py:321-322) — the LN output
+        # must materialize here, so no LN+GEMM fusion on this branch.
+        h = layer_norm(params["norm1"], x)
         emitted = h
-    x = x + self_attention(
-        params["attn1"], h, heads=heads,
-        garment_feat=garment_feat if garment_mode == "consume" else None,
-        garment_uncond_zero=garment_uncond_zero,
-        impl=impl)
-    h = layer_norm(params["norm2"], x)
-    x = x + cross_attention(params["attn2"], h, context, heads=heads,
+        x = x + self_attention(params["attn1"], h, heads=heads, impl=impl)
+    else:
+        x = x + self_attention(
+            params["attn1"], x, heads=heads, norm=params["norm1"],
+            garment_feat=garment_feat if garment_mode == "consume" else None,
+            garment_uncond_zero=garment_uncond_zero,
+            impl=impl)
+    x = x + cross_attention(params["attn2"], x, context, heads=heads,
+                            norm=params["norm2"],
                             ip_num_tokens=ip_num_tokens, ip_scale=ip_scale,
                             impl=impl)
-    h = layer_norm(params["norm3"], x)
-    x = x + feedforward(params["ff"], h)
+    x = x + feedforward(params["ff"], x, norm=params["norm3"], impl=impl)
     return x, emitted

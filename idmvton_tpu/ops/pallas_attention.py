@@ -227,7 +227,8 @@ def flash_attention_concat_kv(q, k, v, k_ref, v_ref, *,
 def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                        hpb: int, d: int, n_own: int, m_garm: int,
                        block_kv: int, own_steps: int, n_kv: int,
-                       uncond_rows: int, sink_tokens: int, has_garm: bool):
+                       uncond_rows: int, sink_tokens: int, has_garm: bool,
+                       prescale_q: bool):
     if has_garm:
         kg_ref, vg_ref, o_ref = rest[:3]
         scratch = rest[3:]
@@ -253,13 +254,20 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]                                   # (BQ, 128) = hpb heads
+    if prescale_q:
+        # power-of-two scale: exact in bf16, saves one VPU op per LOGIT
+        # (BQxBKV) by spending one per q element (BQx128)
+        q = q * jnp.asarray(scale, q.dtype)
 
-    def process(k, v, base, limit):
-        # zero V's out-of-bounds tail rows: the unpadded edge block holds
-        # garbage there, and garbage * (p == 0) is NaN in the PV contraction
-        row_ok = (base + jax.lax.broadcasted_iota(
-            jnp.int32, (k.shape[0], 1), 0)) < limit
-        v = jnp.where(row_ok, v, 0)
+    def process(k, v, base, limit, masked):
+        # masked=False is the interior-block fast path: no tail iota/compare/
+        # select VPU work per logit (the softmax is VPU-bound, not MXU-bound)
+        if masked:
+            # zero V's out-of-bounds tail rows: the unpadded edge block holds
+            # garbage there, and garbage * (p == 0) is NaN in the PV matmul
+            row_ok = (base + jax.lax.broadcasted_iota(
+                jnp.int32, (k.shape[0], 1), 0)) < limit
+            v = jnp.where(row_ok, v, 0)
         for h in range(hpb):
             m_ref, l_ref, acc_ref = scratch[3 * h:3 * h + 3]
             qh = q[:, h * d:(h + 1) * d]
@@ -268,9 +276,13 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
             logits = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT) * scale
-            col = base + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < limit, logits, _NEG_INF)
+                precision=jax.lax.Precision.DEFAULT)
+            if not prescale_q:
+                logits = logits * scale
+            if masked:
+                col = base + jax.lax.broadcasted_iota(jnp.int32,
+                                                      logits.shape, 1)
+                logits = jnp.where(col < limit, logits, _NEG_INF)
             m_prev = m_ref[:, 0][:, None]
             m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1,
                                                 keepdims=True))
@@ -284,19 +296,41 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                 precision=jax.lax.Precision.DEFAULT)
             acc_ref[:] = acc_ref[:] * alpha + pv
 
-    @pl.when(ki < own_steps)
-    def _own():
-        process(ko_ref[0], vo_ref[0], ki * block_kv, n_own)
+    own_edge = n_own % block_kv != 0 or own_steps * block_kv > n_own
+    if not own_edge:
+        @pl.when(ki < own_steps)
+        def _own():
+            process(ko_ref[0], vo_ref[0], ki * block_kv, n_own, masked=False)
+    else:
+        @pl.when(ki < own_steps - 1)
+        def _own_full():
+            process(ko_ref[0], vo_ref[0], ki * block_kv, n_own, masked=False)
+
+        @pl.when(ki == own_steps - 1)
+        def _own_edge():
+            process(ko_ref[0], vo_ref[0], ki * block_kv, n_own, masked=True)
 
     if has_garm:
         is_garm = ki >= own_steps
         cond = jnp.logical_and(is_garm, bi >= uncond_rows) \
             if uncond_rows > 0 else is_garm
+        garm_edge = m_garm % block_kv != 0
 
-        @pl.when(cond)
-        def _garm():
-            process(kg_ref[0], vg_ref[0], (ki - own_steps) * block_kv,
-                    m_garm)
+        if not garm_edge:
+            @pl.when(cond)
+            def _garm():
+                process(kg_ref[0], vg_ref[0], (ki - own_steps) * block_kv,
+                        m_garm, masked=False)
+        else:
+            @pl.when(jnp.logical_and(cond, ki < n_kv - 1))
+            def _garm_full():
+                process(kg_ref[0], vg_ref[0], (ki - own_steps) * block_kv,
+                        m_garm, masked=False)
+
+            @pl.when(jnp.logical_and(cond, ki == n_kv - 1))
+            def _garm_edge():
+                process(kg_ref[0], vg_ref[0], (ki - own_steps) * block_kv,
+                        m_garm, masked=True)
 
     @pl.when(ki == n_kv - 1)
     def _finalize():
@@ -341,17 +375,33 @@ def _gemm_ref_xla(qkv, kv_ref, heads: int, scale: float, sink_tokens: int,
     return out.reshape(b, n, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _pick_block_c(hd: int, d: int) -> int:
+    # 256 (2 column blocks/step at d=64) measured best on v5e: 227.2 ms full
+    # tryon fwd vs 229.3 at 128 and 246.6 at 640 (10 unrolled heads starve
+    # the software pipeline and blow VMEM with fp32 logit tiles)
+    for bc in (256, 128):
+        if hd % bc == 0 and bc % d == 0:
+            return bc
+    return _LANE
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
-                     block_q, block_kv):
+                     block_q, block_kv, block_c):
     b, n, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // heads
-    hpb = _LANE // d                     # heads per 128-lane column block
-    cb = hd // _LANE                     # column blocks per section
+    bc = block_c or _pick_block_c(hd, d)
+    hpb = bc // d                        # heads per column block
+    cb = hd // bc                        # column blocks per section
     has_garm = kv_ref is not None
     m_garm = kv_ref.shape[1] if has_garm else 0
 
+    if bc > _LANE:
+        # wide column blocks unroll hpb heads of fp32 logit tiles in VMEM:
+        # cap the q/kv blocks so hpb * block_q * block_kv * 4B fits
+        block_q = min(block_q, 1024)
+        block_kv = min(block_kv, 1024)
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(max(n, m_garm), 128))
     own_steps = _cdiv(n, block_kv)
@@ -370,7 +420,7 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
             row = jnp.minimum(ki, own_steps - 1)
             return (bi, row, _which * cb + ci)
         blk = block_q if which == 0 else block_kv
-        return pl.BlockSpec((1, blk, _LANE), imap)
+        return pl.BlockSpec((1, blk, bc), imap)
 
     def garm_spec(which):
         # which: 0=k_g, 1=v_g. kv_ref has (b - uncond_rows) rows; uncond
@@ -383,12 +433,16 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
             else:
                 bg = bi
             return (bg, row, _which * cb + ci)
-        return pl.BlockSpec((1, block_kv, _LANE), imap)
+        return pl.BlockSpec((1, block_kv, bc), imap)
 
+    import math
+    # pre-scaling Q is exact only for power-of-two scales (bf16 mantissa)
+    prescale_q = math.frexp(scale)[0] == 0.5
     kernel = functools.partial(
         _flash_kernel_gemm, scale=float(scale), hpb=hpb, d=d, n_own=n,
         m_garm=m_garm, block_kv=block_kv, own_steps=own_steps, n_kv=n_kv,
-        uncond_rows=uncond_rows, sink_tokens=sink_tokens, has_garm=has_garm)
+        uncond_rows=uncond_rows, sink_tokens=sink_tokens, has_garm=has_garm,
+        prescale_q=prescale_q)
 
     in_specs = [qkv_spec(0), qkv_spec(1), qkv_spec(2)]
     inputs = [qkv, qkv, qkv]
@@ -408,7 +462,7 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, _LANE),
+        out_specs=pl.BlockSpec((1, block_q, bc),
                                lambda bi, ci, qi, ki: (bi, qi, ci)),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
         scratch_shapes=scratch,
@@ -428,14 +482,14 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
 
 
 def _flash_gemm_fwd(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
-                    block_q, block_kv):
+                    block_q, block_kv, block_c):
     out = _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens,
-                           uncond_rows, block_q, block_kv)
+                           uncond_rows, block_q, block_kv, block_c)
     return out, (qkv, kv_ref)
 
 
 def _flash_gemm_bwd(heads, scale, sink_tokens, uncond_rows, block_q,
-                    block_kv, residuals, g):
+                    block_kv, block_c, residuals, g):
     qkv, kv_ref = residuals
     if kv_ref is None:
         _, vjp = jax.vjp(
@@ -456,14 +510,18 @@ DEFAULT_GEMM_BLOCK_KV = int(os.environ.get("IDMVTON_FLASH_GEMM_BLOCK_KV",
                                            "1536"))
 DEFAULT_GEMM_BLOCK_Q = int(os.environ.get("IDMVTON_FLASH_GEMM_BLOCK_Q",
                                           "1536"))
-GEMM_VMEM_LIMIT_MB = int(os.environ.get("IDMVTON_FLASH_GEMM_VMEM_MB", "40"))
+GEMM_VMEM_LIMIT_MB = int(os.environ.get("IDMVTON_FLASH_GEMM_VMEM_MB", "100"))
+# 0 = auto (_pick_block_c: widest divisor of H*D, most heads per grid step)
+DEFAULT_GEMM_BLOCK_C = int(os.environ.get("IDMVTON_FLASH_GEMM_BLOCK_C",
+                                          "0")) or None
 
 
 def flash_attention_gemm(qkv, kv_ref=None, *, heads: int,
                          scale: Optional[float] = None,
                          sink_tokens: int = 0, uncond_rows: int = 0,
                          block_q: Optional[int] = None,
-                         block_kv: Optional[int] = None):
+                         block_kv: Optional[int] = None,
+                         block_c: Optional[int] = None):
     """Flash attention directly over fused-QKV GEMM output.
 
     qkv:    (B, N, 3*H*D) — the to_qkv projection of the OWN tokens only.
@@ -487,7 +545,9 @@ def flash_attention_gemm(qkv, kv_ref=None, *, heads: int,
     return _flash_gemm_core(qkv, kv_ref, heads, float(scale),
                             int(sink_tokens), int(uncond_rows),
                             block_q or DEFAULT_GEMM_BLOCK_Q,
-                            block_kv or DEFAULT_GEMM_BLOCK_KV)
+                            block_kv or DEFAULT_GEMM_BLOCK_KV,
+                            block_c if block_c is not None
+                            else DEFAULT_GEMM_BLOCK_C)
 
 
 def flash_attention_gemm_supported(inner: int, heads: int) -> bool:

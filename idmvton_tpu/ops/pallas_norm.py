@@ -12,6 +12,7 @@ anyway); inference never differentiates.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -87,3 +88,221 @@ fused_layer_norm.defvjp(_ln_fwd, _ln_bwd)
 
 def supports_fused_ln(x) -> bool:
     return x.shape[-1] % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm + matmul (+ optional GEGLU epilogue)
+#
+# Round-2 kernel. XLA lowers the transformer's pre-projection LayerNorms to
+# convert+reduce fusions that run ~17x off bandwidth on v5e (measured 31 ms /
+# tryon fwd across the 180 L2 sites alone: the last-axis reduce is a cross-
+# lane operation per element). Every LN in the block feeds a GEMM (to_qkv,
+# to_q, ff.proj_in), so the fusion reads x ONCE, computes stats lane-parallel
+# (128-lane group accumulators, one 128-wide cross-lane reduce per row),
+# normalizes into VMEM scratch, and runs the projection straight off it.
+# The GEGLU variant also folds gelu(gate)*value, eliminating the (.., 2*4C)
+# intermediate round-trip to HBM (63 MB/site at the 1280-ch level).
+# ---------------------------------------------------------------------------
+
+_LANE = 128
+
+
+def _ln_mm_kernel(x_ref, g_ref, b_ref, *rest, eps: float, c: int,
+                  geglu: bool, gelu_tanh: bool):
+    if geglu:
+        wa_ref, wb_ref, ba_ref, bb_ref, o_ref = rest[:5]
+        xn_ref = rest[5]
+    else:
+        wa_ref, ba_ref, o_ref = rest[:3]
+        xn_ref = rest[3]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _stats():
+        bm = x_ref.shape[0]
+        acc1 = jnp.zeros((bm, _LANE), jnp.float32)
+        acc2 = jnp.zeros((bm, _LANE), jnp.float32)
+        for gi in range(c // _LANE):
+            xg = x_ref[:, gi * _LANE:(gi + 1) * _LANE].astype(jnp.float32)
+            acc1 = acc1 + xg
+            acc2 = acc2 + xg * xg
+        s1 = jnp.sum(acc1, axis=-1, keepdims=True)        # (bm, 1)
+        s2 = jnp.sum(acc2, axis=-1, keepdims=True)
+        mean = s1 / c
+        var = jnp.maximum(s2 / c - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        for gi in range(c // _LANE):
+            sl = slice(gi * _LANE, (gi + 1) * _LANE)
+            xg = x_ref[:, sl].astype(jnp.float32)
+            xn_ref[:, sl] = ((xg - mean) * inv * g_ref[0, sl]
+                             + b_ref[0, sl]).astype(xn_ref.dtype)
+
+    xn = xn_ref[:]
+    val = jax.lax.dot_general(
+        xn, wa_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) + ba_ref[0][None, :]
+    if geglu:
+        gate = jax.lax.dot_general(
+            xn, wb_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) + bb_ref[0][None, :]
+        if gelu_tanh:
+            gact = jax.nn.gelu(gate, approximate=True)
+        else:
+            gact = _gelu_erf(gate)
+        val = val * gact
+    o_ref[:] = val.astype(o_ref.dtype)
+
+
+def _gelu_erf(x):
+    """Exact-semantics gelu: Mosaic has no erf/erfc primitive, so erf uses
+    the Abramowitz-Stegun 7.1.26 rational approximation (1.5e-7 max abs
+    error — below bf16 output resolution)."""
+    z = x * jnp.float32(0.7071067811865476)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.where(z < 0, -erf_abs, erf_abs)
+    return 0.5 * x * (1.0 + erf)
+
+
+def _pick_block_n(n_out: int, cap: int = 640) -> int:
+    best = 0
+    for mult in range(1, cap // _LANE + 1):
+        bn = mult * _LANE
+        if n_out % bn == 0:
+            best = bn
+    return best
+
+
+def _ln_mm_forward(x, gamma, beta, w, b, eps, geglu, gelu_tanh, block_m):
+    orig = x.shape
+    c = x.shape[-1]
+    xf = x.reshape(-1, c)
+    m = xf.shape[0]
+    two = 2 if geglu else 1
+    n_out = w.shape[1] // two
+    bn = _pick_block_n(n_out)
+    bm = min(block_m, -(-m // 8) * 8)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+
+    grid = (m_pad // bm, n_out // bn)
+    g2 = gamma.reshape(1, c).astype(jnp.float32)
+    b2 = beta.reshape(1, c).astype(jnp.float32)
+    bias = (jnp.zeros((w.shape[1],), jnp.float32) if b is None
+            else b.astype(jnp.float32)).reshape(1, -1)
+
+    in_specs = [
+        pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((c, bn), lambda i, j: (0, j)),
+    ]
+    inputs = [xf, g2, b2, w]
+    steps = n_out // bn
+    if geglu:
+        in_specs.append(pl.BlockSpec((c, bn),
+                                     lambda i, j: (0, j + steps)))
+        inputs.append(w)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+        inputs.append(bias)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j + steps)))
+        inputs.append(bias)
+    else:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+        inputs.append(bias)
+
+    out = pl.pallas_call(
+        functools.partial(_ln_mm_kernel, eps=eps, c=c, geglu=geglu,
+                          gelu_tanh=gelu_tanh),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=LN_MM_VMEM_LIMIT_MB * 1024 * 1024,
+        ) if jax.default_backend() == "tpu" else None,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * c * n_out * two,
+            bytes_accessed=(xf.size + w.size * grid[0]) * 2
+            + m_pad * n_out * 2,
+            transcendentals=m_pad * n_out if geglu else 0,
+        ),
+        interpret=(jax.default_backend() != "tpu"),
+    )(*inputs)
+    return out[:m].reshape(*orig[:-1], n_out)
+
+
+def _ln_mm_xla(x, gamma, beta, w, b, eps, geglu, gelu_tanh):
+    h = _xla_ln(x, gamma, beta, eps)
+    y = jnp.dot(h, w.astype(h.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if geglu:
+        val, gate = jnp.split(y, 2, axis=-1)
+        y = val * jax.nn.gelu(gate, approximate=gelu_tanh)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _ln_mm_core(x, gamma, beta, w, b, eps, geglu, gelu_tanh, block_m):
+    return _ln_mm_forward(x, gamma, beta, w, b, eps, geglu, gelu_tanh,
+                          block_m)
+
+
+def _ln_mm_fwd(x, gamma, beta, w, b, eps, geglu, gelu_tanh, block_m):
+    out = _ln_mm_core(x, gamma, beta, w, b, eps, geglu, gelu_tanh, block_m)
+    return out, (x, gamma, beta, w, b)
+
+
+def _ln_mm_bwd(eps, geglu, gelu_tanh, block_m, res, g):
+    x, gamma, beta, w, b = res
+    if b is None:
+        _, vjp = jax.vjp(lambda x_, g_, bt_, w_: _ln_mm_xla(
+            x_, g_, bt_, w_, None, eps, geglu, gelu_tanh), x, gamma, beta, w)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(lambda x_, g_, bt_, w_, b_: _ln_mm_xla(
+        x_, g_, bt_, w_, b_, eps, geglu, gelu_tanh), x, gamma, beta, w, b)
+    return vjp(g)
+
+
+_ln_mm_core.defvjp(_ln_mm_fwd, _ln_mm_bwd)
+
+# tuned on v5e (scripts/ab_step.py, full tryon fwd): 1024 229.3ms,
+# 768 230.1, 512 234.9, 256 251.4
+DEFAULT_LN_MM_BLOCK_M = int(os.environ.get("IDMVTON_LN_MM_BLOCK_M", "1024"))
+LN_MM_VMEM_LIMIT_MB = int(os.environ.get("IDMVTON_LN_MM_VMEM_MB", "100"))
+
+
+def ln_linear(x, norm_params, proj_params, *, eps: float = 1e-5,
+              geglu: bool = False, gelu_tanh: bool = False,
+              block_m: Optional[int] = None):
+    """layer_norm(x) @ kernel (+ bias), optionally with a GEGLU epilogue.
+
+    proj_params["kernel"]: (C, N) — or (C, 2N) for geglu, laid out
+    [value | gate] like ff.proj_in (reference GEGLU, attention.py FF).
+    Falls back to the unfused XLA expression off-TPU-support.
+    """
+    w = proj_params["kernel"]
+    b = proj_params.get("bias")
+    if not ln_linear_supported(x, w, geglu=geglu):
+        return _ln_mm_xla(x, norm_params["scale"], norm_params["bias"],
+                          w, b, eps, geglu, gelu_tanh)
+    return _ln_mm_core(x, norm_params["scale"], norm_params["bias"], w, b,
+                       eps, geglu, gelu_tanh,
+                       block_m or DEFAULT_LN_MM_BLOCK_M)
+
+
+def ln_linear_supported(x, w, *, geglu: bool = False) -> bool:
+    c = x.shape[-1]
+    two = 2 if geglu else 1
+    n_out = w.shape[1] // two
+    return (c % _LANE == 0 and n_out % _LANE == 0
+            and w.shape[1] == two * n_out
+            and _pick_block_n(n_out) > 0)
