@@ -238,8 +238,16 @@ def transformer_block(params, x, context, *, heads: int,
     if garment_mode == "emit":
         # GarmentNet captures the post-norm1, pre-attention hidden states
         # (reference: src/attentionhacked_garmnet.py:321-322) — the LN output
-        # must materialize here, so no LN+GEMM fusion on this branch.
-        h = layer_norm(params["norm1"], x)
+        # must materialize here, so the LN+GEMM fusion doesn't apply; the
+        # standalone fused-LN kernel still beats XLA's convert+reduce.
+        from idmvton_tpu.ops.dispatch import resolve
+        from idmvton_tpu.ops.pallas_norm import (fused_layer_norm,
+                                                 supports_fused_ln)
+        if resolve(impl) == "pallas" and supports_fused_ln(x):
+            h = fused_layer_norm(x, params["norm1"]["scale"],
+                                 params["norm1"]["bias"])
+        else:
+            h = layer_norm(params["norm1"], x)
         emitted = h
         x = x + self_attention(params["attn1"], h, heads=heads, impl=impl)
     else:

@@ -91,6 +91,13 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME"):
     The MXU accumulates bf16 convs in fp32 internally either way;
     IDMVTON_CONV_FP32_OUT=1 requests an fp32 output + fused convert instead
     (measured neutral; breaks bf16 training's backward conv)."""
+    k = params["kernel"]
+    if (stride == 1 and k.shape[:2] == (3, 3)
+            and (padding == "SAME" or padding == ((1, 1), (1, 1)))):
+        from idmvton_tpu.ops.dispatch import resolve
+        from idmvton_tpu.ops.pallas_conv import conv3x3, conv3x3_supported
+        if resolve(None) == "pallas" and conv3x3_supported(x, k):
+            return conv3x3(x, k.astype(x.dtype), params.get("bias"))
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"].astype(x.dtype),
@@ -122,9 +129,22 @@ def group_norm(params, x, *, num_groups: int, eps: float = 1e-5,
     # reshape(b, -1, g, c//g) puts c//g (e.g. 10) in the lane dim and forces
     # relayouts of the whole activation (measured ~40 ms/UNet-forward).
     spatial_axes = tuple(range(1, x.ndim - 1))
+    n_spatial = 1
+    for a in spatial_axes:
+        n_spatial *= x.shape[a]
+    from idmvton_tpu.ops.dispatch import resolve
+    from idmvton_tpu.ops.pallas_norm import gn_spatial_stats, gn_stats_supported
     xf32 = x.astype(jnp.float32)
-    mean_c = jnp.mean(xf32, axis=spatial_axes)                 # (B, C)
-    mean2_c = jnp.mean(jnp.square(xf32), axis=spatial_axes)    # (B, C)
+    if resolve(None) == "pallas" and gn_stats_supported(x) and n_spatial >= 64:
+        # XLA lowers this spatial reduce to a *convolution* at several UNet
+        # sites (~50x off bandwidth, 17.8 ms/tryon-fwd); the Pallas kernel
+        # keeps channels in lanes and accumulates with plain vector adds
+        s1, s2 = gn_spatial_stats(x)
+        mean_c = s1 / n_spatial                                # (B, C)
+        mean2_c = s2 / n_spatial
+    else:
+        mean_c = jnp.mean(xf32, axis=spatial_axes)             # (B, C)
+        mean2_c = jnp.mean(jnp.square(xf32), axis=spatial_axes)
     gmean = jnp.mean(mean_c.reshape(b, g, c // g), axis=-1)    # (B, G)
     gmean2 = jnp.mean(mean2_c.reshape(b, g, c // g), axis=-1)
     var = jnp.maximum(gmean2 - jnp.square(gmean), 0.0)

@@ -24,6 +24,27 @@ DEFAULT_BLOCK_TOKENS = 256
 
 
 def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
+    # lane-parallel stats (128-lane group accumulators + ONE 128-wide
+    # cross-lane reduce per row) — a naive jnp.mean(axis=-1) is a cross-lane
+    # op per element, the very pathology this kernel exists to fix
+    bm, c = x_ref.shape
+    lane = 128
+    if c % lane == 0 and c > lane:
+        acc1 = jnp.zeros((bm, lane), jnp.float32)
+        acc2 = jnp.zeros((bm, lane), jnp.float32)
+        for gi in range(c // lane):
+            xg = x_ref[:, gi * lane:(gi + 1) * lane].astype(jnp.float32)
+            acc1 = acc1 + xg
+            acc2 = acc2 + xg * xg
+        mean = jnp.sum(acc1, axis=-1, keepdims=True) / c
+        mean2 = jnp.sum(acc2, axis=-1, keepdims=True) / c
+        inv = jax.lax.rsqrt(jnp.maximum(mean2 - mean * mean, 0.0) + eps)
+        for gi in range(c // lane):
+            sl = slice(gi * lane, (gi + 1) * lane)
+            xg = x_ref[:, sl].astype(jnp.float32)
+            o_ref[:, sl] = ((xg - mean) * inv * scale_ref[0, sl]
+                            + bias_ref[0, sl]).astype(o_ref.dtype)
+        return
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
@@ -306,3 +327,88 @@ def ln_linear_supported(x, w, *, geglu: bool = False) -> bool:
     return (c % _LANE == 0 and n_out % _LANE == 0
             and w.shape[1] == two * n_out
             and _pick_block_n(n_out) > 0)
+
+
+# ---------------------------------------------------------------------------
+# GroupNorm spatial statistics
+#
+# XLA lowers group_norm's per-channel spatial mean/mean-square over
+# (B, H, W, C) to *convolutions* at several UNet sites (f32[4,1280]-output
+# "convolution" fusions costing 0.8-0.9 ms each, ~50x off bandwidth —
+# 17.8 ms/tryon-fwd total). This kernel is the obvious lowering instead:
+# channels stay in lanes, spatial rows accumulate with plain vector adds,
+# one 8-sublane fold at the end.
+# ---------------------------------------------------------------------------
+
+
+def _gn_stats_kernel(x_ref, s1_ref, s2_ref, acc1, acc2):
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _init():
+        acc1[:] = jnp.zeros_like(acc1)
+        acc2[:] = jnp.zeros_like(acc2)
+
+    xf = x_ref[0].astype(jnp.float32)               # (blockR, C)
+    br, c = xf.shape
+    x3 = xf.reshape(br // 8, 8, c)
+    acc1[:] = acc1[:] + jnp.sum(x3, axis=0)          # (8, C), lane-parallel
+    acc2[:] = acc2[:] + jnp.sum(x3 * x3, axis=0)
+
+    @pl.when(rb == pl.num_programs(1) - 1)
+    def _fin():
+        # (8, C) partials; the trivial 8-row fold happens outside in XLA
+        s1_ref[0] = acc1[:]
+        s2_ref[0] = acc2[:]
+
+
+def _gn_stats_forward(x, block_rows):
+    b = x.shape[0]
+    c = x.shape[-1]
+    flat = x.reshape(b, -1, c)
+    s = flat.shape[1]
+    br = min(block_rows, -(-s // 8) * 8)
+    s_pad = -(-s // br) * br
+    if s_pad != s:
+        flat = jnp.pad(flat, ((0, 0), (0, s_pad - s), (0, 0)))
+    s1, s2 = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(b, s_pad // br),
+        in_specs=[pl.BlockSpec((1, br, c), lambda bi, rb: (bi, rb, 0))],
+        out_specs=[pl.BlockSpec((1, 8, c), lambda bi, rb: (bi, 0, 0)),
+                   pl.BlockSpec((1, 8, c), lambda bi, rb: (bi, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 8, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, c), jnp.float32),
+                        pltpu.VMEM((8, c), jnp.float32)],
+        interpret=(jax.default_backend() != "tpu"),
+    )(flat)
+    return jnp.sum(s1, axis=1), jnp.sum(s2, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def gn_spatial_stats(x, block_rows: int = 512):
+    """(B, ..., C) -> (sum, sum_of_squares) per (B, C) over spatial axes,
+    fp32 accumulation. Zero-pad-exact (padded rows contribute 0)."""
+    return _gn_stats_forward(x, block_rows)
+
+
+def _gn_stats_fwd(x, block_rows):
+    return _gn_stats_forward(x, block_rows), x
+
+
+def _gn_stats_bwd(block_rows, x, g):
+    g1, g2 = g
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    gx = (g1.reshape(shape)
+          + 2.0 * x.astype(jnp.float32) * g2.reshape(shape))
+    return (gx.astype(x.dtype),)
+
+
+gn_spatial_stats.defvjp(_gn_stats_fwd, _gn_stats_bwd)
+
+
+def gn_stats_supported(x) -> bool:
+    # any channel count works: the block's last dim equals the full C
+    # (Mosaic pads the lane tail internally)
+    return x.ndim >= 3 and x.shape[-1] >= 8

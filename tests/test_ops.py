@@ -316,3 +316,77 @@ def test_transformer_block_fused_norm_parity():
     r = r + feedforward(p["ff"], layer_norm(p["norm3"], r))
     np.testing.assert_allclose(np.asarray(out), np.asarray(r),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gn_spatial_stats_matches_reduce():
+    from idmvton_tpu.ops.pallas_norm import gn_spatial_stats
+    for shape in [(2, 17, 23, 128), (1, 96, 128, 256), (3, 50, 384),
+                  (4, 24, 32, 320)]:
+        x = jax.random.normal(jax.random.PRNGKey(sum(shape)), shape,
+                              jnp.bfloat16)
+        s1, s2 = gn_spatial_stats(x)
+        ax = tuple(range(1, x.ndim - 1))
+        np.testing.assert_allclose(
+            np.asarray(s1),
+            np.asarray(jnp.sum(x.astype(jnp.float32), axis=ax)),
+            rtol=1e-5, atol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(s2),
+            np.asarray(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=ax)),
+            rtol=1e-5, atol=1e-2)
+
+
+def test_gn_spatial_stats_gradient():
+    from idmvton_tpu.ops.pallas_norm import gn_spatial_stats
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 24, 128),
+                          jnp.bfloat16)
+    g = jax.grad(lambda xx: jnp.sum(gn_spatial_stats(xx)[0])
+                 + jnp.sum(gn_spatial_stats(xx)[1]))(x)
+    gw = jax.grad(lambda xx: jnp.sum(xx.astype(jnp.float32))
+                  + jnp.sum(jnp.square(xx.astype(jnp.float32))))(x)
+    np.testing.assert_allclose(np.asarray(g.astype(jnp.float32)),
+                               np.asarray(gw.astype(jnp.float32)),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_conv3x3_pallas_matches_xla():
+    from idmvton_tpu.ops.pallas_conv import conv3x3, conv3x3_supported
+    for (shape, cout) in [((2, 8, 12, 128), 256), ((1, 16, 8, 128), 128),
+                          ((2, 6, 10, 256), 640)]:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(shape[1]), 3)
+        x = jax.random.normal(k1, shape, jnp.bfloat16)
+        w = jax.random.normal(k2, (3, 3, shape[-1], cout),
+                              jnp.bfloat16) * 0.05
+        b = jax.random.normal(k3, (cout,), jnp.float32)
+        assert conv3x3_supported(x, w)
+        got = conv3x3(x, w, b)
+        want = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                                   np.asarray(want), rtol=5e-2, atol=5e-2)
+
+
+def test_conv3x3_pallas_gradient():
+    from idmvton_tpu.ops.pallas_conv import conv3x3
+
+    def f_pl(x, w, b):
+        return jnp.sum(jnp.square(conv3x3(x, w, b).astype(jnp.float32)))
+
+    def f_xla(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (1, 8, 8, 128), jnp.bfloat16)
+    w = jax.random.normal(k2, (3, 3, 128, 128), jnp.bfloat16) * 0.05
+    b = jnp.zeros((128,), jnp.float32)
+    gp = jax.grad(f_pl, argnums=(0, 1))(x, w, b)
+    gx = jax.grad(f_xla, argnums=(0, 1))(x, w, b.astype(jnp.bfloat16))
+    for a, bb in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a.astype(jnp.float32)),
+                                   np.asarray(bb.astype(jnp.float32)),
+                                   rtol=1e-1, atol=1e-1)
