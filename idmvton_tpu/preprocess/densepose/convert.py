@@ -62,9 +62,22 @@ def _fc1_nhwc(sd, key, dtype, ch=256, size=7):
             "bias": jnp.asarray(sd[key + ".bias"], dtype)}
 
 
+class _RecordingSD(dict):
+    """dict that records key reads (strict manifest accounting)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.touched = set()
+
+    def __getitem__(self, k):
+        self.touched.add(k)
+        return super().__getitem__(k)
+
+
 def convert_densepose(sd: Dict[str, np.ndarray],
                       cfg: DensePoseConfig = DensePoseConfig(),
-                      dtype=jnp.float32) -> dict:
+                      dtype=jnp.float32, *, strict: bool = False) -> dict:
+    sd = _RecordingSD(sd)
     bb = {"stem": _conv_bn(sd, "backbone.bottom_up.stem.conv1", dtype)}
     blocks = (3, 4, 6, 3)
     for li, n in enumerate(blocks):
@@ -109,5 +122,26 @@ def convert_densepose(sd: Dict[str, np.ndarray],
             "bias": jnp.asarray(
                 sd[f"roi_heads.densepose_predictor.{theirs}.bias"], dtype),
         }
-    return {"backbone": bb, "fpn": fpn, "rpn": rpn, "box_head": box_head,
+    tree = {"backbone": bb, "fpn": fpn, "rpn": rpn, "box_head": box_head,
             "dp_head": dp_head}
+    if cfg.decoder_on:
+        # Panoptic-FPN Decoder (roi_head.py:26-81); modules registered by
+        # in_feature name: roi_heads.decoder.p{2..5}.{seq_idx}. — seq indices
+        # skip the param-free nn.Upsample entries (0, 2, 4, ...)
+        heads = []
+        for lvl in range(4):
+            n_convs = max(1, lvl)
+            heads.append([
+                _conv(sd, f"roi_heads.decoder.p{lvl + 2}.{2 * j}", dtype)
+                for j in range(n_convs)])
+        tree["decoder"] = {
+            "scale_heads": heads,
+            "predictor": _conv(sd, "roi_heads.decoder.predictor", dtype),
+        }
+    if strict:
+        from idmvton_tpu.weights.converter import check_consumed
+        # pixel_mean/std + anchor cell buffers are constants, not weights
+        check_consumed(sd, sd.touched, ignore_prefixes=(
+            "pixel_mean", "pixel_std",
+            "proposal_generator.anchor_generator."))
+    return tree

@@ -45,6 +45,12 @@ class DensePoseConfig:
     dp_convs: int = 8
     dp_dim: int = 512
     dp_pooler: int = 28
+    # Panoptic-FPN Decoder ahead of the densepose pooler (DECODER_ON defaults
+    # True in densepose/config.py:191; the served s1x checkpoint has
+    # roi_heads.decoder.* weights): merges P2-P5 into one stride-4 256-ch
+    # feature (gradio_demo/densepose/modeling/roi_heads/roi_head.py:26-81).
+    decoder_on: bool = True
+    decoder_dim: int = 256
     heatmap_size: int = 112
     num_patches: int = 24          # 24 body parts + bg fine channels = 25
     bbox_reg_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
@@ -76,7 +82,8 @@ def init_densepose_rcnn(key, cfg: DensePoseConfig = DensePoseConfig(),
             "reg": init_linear(nk(), 1024, 4, dtype=dtype),
         },
         "dp_head": {
-            "convs": [init_conv(nk(), FPN_DIM if i == 0 else cfg.dp_dim,
+            "convs": [init_conv(nk(), (cfg.decoder_dim if cfg.decoder_on
+                                       else FPN_DIM) if i == 0 else cfg.dp_dim,
                                 cfg.dp_dim, 3, dtype=dtype)
                       for i in range(cfg.dp_convs)],
             # ConvTranspose2d(512, ch, 4, stride 2, pad 1) predictors
@@ -86,7 +93,36 @@ def init_densepose_rcnn(key, cfg: DensePoseConfig = DensePoseConfig(),
             "v": _init_deconv(nk(), cfg.dp_dim, dp_out, dtype),
         },
     }
+    if cfg.decoder_on:
+        dd = cfg.decoder_dim
+        # head_length per P-level = log2(stride) - log2(common_stride=4):
+        # P2 -> 1 conv, P3 -> 1, P4 -> 2, P5 -> 3 (roi_head.py:46-70)
+        params["decoder"] = {
+            "scale_heads": [
+                [init_conv(nk(), FPN_DIM if j == 0 else dd, dd, 3,
+                           dtype=dtype) for j in range(max(1, lvl))]
+                for lvl in range(4)],
+            "predictor": init_conv(nk(), dd, dd, 1, dtype=dtype),
+        }
     return params
+
+
+def _decoder_apply(params, ps, cfg: DensePoseConfig):
+    """Panoptic-FPN semantic head (roi_head.py Decoder.forward): per level,
+    conv3x3+ReLU (+bilinear 2x after each conv while above stride 4), sum
+    across levels, 1x1 predictor. Returns the stride-4 (B, H/4, W/4, 256)
+    feature the densepose pooler reads."""
+    total = None
+    for lvl in range(4):
+        h = ps[lvl]
+        for conv in params["decoder"]["scale_heads"][lvl]:
+            h = jax.nn.relu(conv2d(conv, h, padding=((1, 1), (1, 1))))
+            if lvl > 0:
+                b, fh, fw, c = h.shape
+                h = jax.image.resize(h, (b, fh * 2, fw * 2, c),
+                                     jax.image.ResizeMethod.LINEAR)
+        total = h if total is None else total + h
+    return conv2d(params["decoder"]["predictor"], total)
 
 
 def _init_deconv(key, in_ch, out_ch, dtype):
@@ -235,7 +271,15 @@ def densepose_rcnn_apply(params, x, cfg: DensePoseConfig = DensePoseConfig()):
     det_valid = det_idx >= 0
 
     # --- densepose head
-    dpp = _multilevel_roi_align(ps, det_boxes, det_valid, cfg.dp_pooler)
+    if cfg.decoder_on:
+        # pooler reads the decoder's single stride-4 feature
+        # (roi_head.py:105-106 dp_pooler_scales = (1/stride(p2),))
+        dec = _decoder_apply(params, ps, cfg)
+        idx = jnp.where(det_valid, 0, -1)
+        dpp = roi_align(dec, det_boxes, idx, output_size=cfg.dp_pooler,
+                        spatial_scale=1.0 / 4.0, sampling_ratio=2)
+    else:
+        dpp = _multilevel_roi_align(ps, det_boxes, det_valid, cfg.dp_pooler)
     h = dpp
     for conv in params["dp_head"]["convs"]:
         h = jax.nn.relu(conv2d(conv, h, padding=((1, 1), (1, 1))))

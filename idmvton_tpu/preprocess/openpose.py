@@ -101,18 +101,24 @@ def openpose_apply(params, x):
     return paf, heat
 
 
-def convert_openpose(sd: Dict[str, np.ndarray], dtype=jnp.float32) -> dict:
+def convert_openpose(sd: Dict[str, np.ndarray], dtype=jnp.float32, *,
+                     strict: bool = False) -> dict:
     """torch state dict (keys 'model0.conv1_1.weight', ...) -> param tree."""
     params = {}
+    used = set()
     for block, layers in _all_layers().items():
         params[block] = {}
         for name, _, _, _ in layers:
             w = np.asarray(sd[f"{block}.{name}.weight"])
             b = np.asarray(sd[f"{block}.{name}.bias"])
+            used.update((f"{block}.{name}.weight", f"{block}.{name}.bias"))
             params[block][name] = {
                 "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), dtype),
                 "bias": jnp.asarray(b, dtype),
             }
+    if strict:
+        from idmvton_tpu.weights.converter import check_consumed
+        check_consumed(sd, used)
     return params
 
 

@@ -238,23 +238,28 @@ def schp_apply(params, x):
 
 
 def convert_schp(sd: Dict[str, np.ndarray], num_classes: int = ATR_CLASSES,
-                 dtype=jnp.float32) -> dict:
+                 dtype=jnp.float32, *, strict: bool = False) -> dict:
     """SCHP checkpoint (exp-schp-201908301523-atr.pth style state dict,
     possibly under 'state_dict' with 'module.' prefixes) -> param tree."""
     sd = {k.replace("module.", ""): np.asarray(v) for k, v in sd.items()}
+    used = set()
+
+    def _g(key):
+        used.add(key)
+        return sd[key]
 
     def conv(key, bias=False):
-        p = {"kernel": jnp.asarray(np.transpose(sd[key + ".weight"],
+        p = {"kernel": jnp.asarray(np.transpose(_g(key + ".weight"),
                                                 (2, 3, 1, 0)), dtype)}
         if bias and key + ".bias" in sd:
-            p["bias"] = jnp.asarray(sd[key + ".bias"], dtype)
+            p["bias"] = jnp.asarray(_g(key + ".bias"), dtype)
         return p
 
     def bn(key):
-        return {"scale": jnp.asarray(sd[key + ".weight"], jnp.float32),
-                "bias": jnp.asarray(sd[key + ".bias"], jnp.float32),
-                "mean": jnp.asarray(sd[key + ".running_mean"], jnp.float32),
-                "var": jnp.asarray(sd[key + ".running_var"], jnp.float32)}
+        return {"scale": jnp.asarray(_g(key + ".weight"), jnp.float32),
+                "bias": jnp.asarray(_g(key + ".bias"), jnp.float32),
+                "mean": jnp.asarray(_g(key + ".running_mean"), jnp.float32),
+                "var": jnp.asarray(_g(key + ".running_var"), jnp.float32)}
 
     def conv_bn(ck, bk):
         return {"conv": conv(ck), "bn": bn(bk)}
@@ -296,6 +301,9 @@ def convert_schp(sd: Dict[str, np.ndarray], num_classes: int = ATR_CLASSES,
         "conv": conv_bn("fushion.0", "fushion.1"),
         "out": conv("fushion.3", bias=True),
     }
+    if strict:
+        from idmvton_tpu.weights.converter import check_consumed
+        check_consumed(sd, used)
     return params
 
 
