@@ -142,9 +142,14 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.13025  # reference: SDXL vae config; tryon_pipeline.py:1654
-    # Reference force-upcasts the decoder to fp32 (tryon_pipeline.py:1868-1880);
-    # on TPU bf16 has fp32's range so this is optional.
-    force_upcast: bool = True
+    # The reference force-upcasts its decoder to fp32 because the fp16 SDXL
+    # VAE overflows (tryon_pipeline.py:1868-1880). bf16 has fp32's exponent
+    # range, so that failure mode does not exist on TPU: default to bf16
+    # compute (fp32 norms as everywhere), which also halves decode HBM
+    # traffic. bf16's ~4e-3 relative rounding is the same order as the
+    # uint8 pixel quantization (1/255) the output feeds into. Set True for
+    # bit-strict fp32 parity runs (golden SSIM fixtures).
+    force_upcast: bool = False
 
     @property
     def downscale(self) -> int:

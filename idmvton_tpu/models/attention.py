@@ -149,8 +149,32 @@ def cross_attention(params, x, context, *, heads: int,
     normalized softmax (IPAttnProcessor2_0 semantics)."""
     from idmvton_tpu.ops.dispatch import resolve
     from idmvton_tpu.ops.pallas_norm import ln_linear, ln_linear_supported
-    if norm is not None and resolve(impl) == "pallas" and \
-            ln_linear_supported(x, params["to_q"]["kernel"]):
+    from idmvton_tpu.ops.pallas_attention import (
+        cross_attention_small_kv, cross_attention_small_kv_supported,
+    )
+    inner = params["to_out"]["kernel"].shape[0]
+    use_fused_q = norm is not None and resolve(impl) == "pallas" and \
+        ln_linear_supported(x, params["to_q"]["kernel"])
+    if resolve(impl) == "pallas" and cross_attention_small_kv_supported(
+            inner, heads, context.shape[1]):
+        # GEMM-layout small-KV kernel: one pass over Q, both branches fused,
+        # no split-heads copies or HBM logits
+        if use_fused_q:
+            q = ln_linear(x, norm, params["to_q"])
+        else:
+            q = linear(params["to_q"], layer_norm(norm, x)
+                       if norm is not None else x)
+        if "to_kv_ip" in params and ip_num_tokens > 0:
+            kv_t = linear(params["to_kv"], context[:, :-ip_num_tokens])
+            kv_i = linear(params["to_kv_ip"], context[:, -ip_num_tokens:])
+            out = cross_attention_small_kv(q, kv_t, kv_i, heads=heads,
+                                           ip_scale=ip_scale)
+        else:
+            out = cross_attention_small_kv(q, linear(params["to_kv"], context),
+                                           heads=heads)
+        return linear(params["to_out"], out)
+
+    if use_fused_q:
         q = _split_heads(ln_linear(x, norm, params["to_q"]), heads)
     else:
         if norm is not None:

@@ -95,9 +95,16 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME"):
     if (stride == 1 and k.shape[:2] == (3, 3)
             and (padding == "SAME" or padding == ((1, 1), (1, 1)))):
         from idmvton_tpu.ops.dispatch import resolve
-        from idmvton_tpu.ops.pallas_conv import conv3x3, conv3x3_supported
-        if resolve(None) == "pallas" and conv3x3_supported(x, k):
-            return conv3x3(x, k.astype(x.dtype), params.get("bias"))
+        from idmvton_tpu.ops.pallas_conv import (
+            conv3x3, conv3x3_supported, conv3x3_hblock,
+            conv3x3_hblock_supported,
+        )
+        if resolve(None) == "pallas":
+            if conv3x3_supported(x, k):
+                return conv3x3(x, k.astype(x.dtype), params.get("bias"))
+            if conv3x3_hblock_supported(x, k):
+                return conv3x3_hblock(x, k.astype(x.dtype),
+                                      params.get("bias"))
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"].astype(x.dtype),

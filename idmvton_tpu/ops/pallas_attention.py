@@ -224,6 +224,11 @@ def flash_attention_concat_kv(q, k, v, k_ref, v_ref, *,
 # ---------------------------------------------------------------------------
 
 
+def _exp_bf16() -> bool:
+    # softmax exp on packed bf16 (A/B knob; see use site for the error story)
+    return os.environ.get("IDMVTON_FLASH_EXP_BF16", "0") == "1"
+
+
 def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                        hpb: int, d: int, n_own: int, m_garm: int,
                        block_kv: int, own_steps: int, n_kv: int,
@@ -286,9 +291,20 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
             m_prev = m_ref[:, 0][:, None]
             m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1,
                                                 keepdims=True))
-            p = jnp.exp(logits - m_new)
+            if _exp_bf16():
+                # exp on bf16 vectors (2 lanes/op). The numerator is cast to
+                # bf16 for the MXU PV matmul EITHER WAY, so this only touches
+                # the softmax denominator: fp32-accumulated sum of bf16 terms
+                # (~2^-9 relative) instead of fp32 terms — well under the
+                # output's own bf16 rounding.
+                p = jnp.exp((logits - m_new).astype(jnp.bfloat16))
+                l_add = jnp.sum(p, axis=-1, keepdims=True,
+                                dtype=jnp.float32)
+            else:
+                p = jnp.exp(logits - m_new)
+                l_add = jnp.sum(p, axis=-1, keepdims=True)
             alpha = jnp.exp(m_prev - m_new)
-            l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+            l_ref[:] = alpha * l_ref[:] + l_add
             m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
@@ -645,3 +661,187 @@ def flash_attention_fused_qkv(qkv, s_own: int, *,
         interpret=(jax.default_backend() != "tpu"),
     )(t, t, t)
     return jnp.transpose(out[:, :, :s_own, :d], (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Small-KV cross-attention (text 77 tokens + optional 16 IP tokens).
+#
+# The XLA path materializes (B, H, N, S) fp32 logits in HBM twice (text and
+# IP branches, ~5.6 ms/tryon-fwd at 768x1024). KV fits VMEM whole, so this
+# kernel makes ONE pass over the Q GEMM output (B, N, H*D) — no split-heads
+# copy — computing both branches per tile and summing
+# (IPAttnProcessor2_0 semantics: independent softmaxes,
+# ip_adapter/attention_processor.py:1970-1995).
+# ---------------------------------------------------------------------------
+
+
+def _cross_small_kernel(q_ref, k_ref, v_ref, *rest, scale: float, hpb: int,
+                        d: int, s_text: int, s_ip: int, ip_scale: float):
+    has_ip = s_ip > 0
+    if has_ip:
+        ki_ref, vi_ref, o_ref = rest[:3]
+    else:
+        o_ref = rest[0]
+
+    q = q_ref[0]                                     # (BQ, bc)
+    outs = []
+    for h in range(hpb):
+        qh = q[:, h * d:(h + 1) * d]
+
+        def branch(kf, vf, s_real, sc):
+            k = kf[0][:, h * d:(h + 1) * d]          # (S_pad, D)
+            v = vf[0][:, h * d:(h + 1) * d]
+            logits = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT) * scale  # (BQ, S_pad)
+            if s_real != k.shape[0]:
+                col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                logits = jnp.where(col < s_real, logits, _NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)  # (BQ, D) fp32
+            return o * sc
+
+        o = branch(k_ref, v_ref, s_text, 1.0)
+        if has_ip:
+            o = o + branch(ki_ref, vi_ref, s_ip, ip_scale)
+        outs.append(o)
+    o_ref[0] = (outs[0] if hpb == 1
+                else jnp.concatenate(outs, axis=1)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _cross_small_core(q, kv, kv_ip, heads, scale, ip_scale, block_q):
+    b, n, hd = q.shape
+    d = hd // heads
+    bc = _LANE                                     # one head pair at d=64
+    hpb = bc // d
+    cb = hd // bc
+    s_text = kv.shape[1]
+    s_ip = kv_ip.shape[1] if kv_ip is not None else 0
+    st_p = _round_up(s_text, 8)
+    si_p = _round_up(max(s_ip, 1), 8)
+
+    block_q = min(block_q, _round_up(n, 128))
+    n_p = _round_up(n, block_q)
+    qp = jnp.pad(q, ((0, 0), (0, n_p - n), (0, 0))) if n_p != n else q
+    kvp = jnp.pad(kv, ((0, 0), (0, st_p - s_text), (0, 0))) \
+        if st_p != s_text else kv
+
+    grid = (b, cb, n_p // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, bc), lambda bi, ci, qi: (bi, qi, ci)),
+        pl.BlockSpec((1, st_p, bc), lambda bi, ci, qi: (bi, 0, ci)),
+        pl.BlockSpec((1, st_p, bc), lambda bi, ci, qi: (bi, 0, cb + ci)),
+    ]
+    inputs = [qp, kvp, kvp]
+    if s_ip > 0:
+        kvip = jnp.pad(kv_ip, ((0, 0), (0, si_p - s_ip), (0, 0))) \
+            if si_p != s_ip else kv_ip
+        in_specs += [
+            pl.BlockSpec((1, si_p, bc), lambda bi, ci, qi: (bi, 0, ci)),
+            pl.BlockSpec((1, si_p, bc), lambda bi, ci, qi: (bi, 0, cb + ci)),
+        ]
+        inputs += [kvip, kvip]
+
+    kernel = functools.partial(
+        _cross_small_kernel, scale=float(scale), hpb=hpb, d=d,
+        s_text=s_text, s_ip=s_ip, ip_scale=float(ip_scale))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, bc),
+                               lambda bi, ci, qi: (bi, qi, ci)),
+        out_shape=jax.ShapeDtypeStruct((b, n_p, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_p * (st_p + si_p) * hd,
+            bytes_accessed=(qp.size + 2 * kvp.size + b * n_p * hd) * 2,
+            transcendentals=b * heads * n_p * (st_p + si_p),
+        ),
+        interpret=(jax.default_backend() != "tpu"),
+    )(*inputs)
+    return out[:, :n] if n_p != n else out
+
+
+def _cross_small_xla(q, kv, kv_ip, heads, scale, ip_scale):
+    b, n, hd = q.shape
+    d = hd // heads
+    qh = q.reshape(b, n, heads, d)
+
+    def branch(kvx):
+        s = kvx.shape[1]
+        k = kvx[..., :hd].reshape(b, s, heads, d)
+        v = kvx[..., hd:].reshape(b, s, heads, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k,
+                            preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                          preferred_element_type=jnp.float32)
+
+    out = branch(kv)
+    if kv_ip is not None:
+        out = out + ip_scale * branch(kv_ip)
+    return out.astype(q.dtype).reshape(b, n, hd)
+
+
+def _cross_small_fwd(q, kv, kv_ip, heads, scale, ip_scale, block_q):
+    return (_cross_small_core(q, kv, kv_ip, heads, scale, ip_scale, block_q),
+            (q, kv, kv_ip))
+
+
+def _cross_small_bwd(heads, scale, ip_scale, block_q, res, g):
+    q, kv, kv_ip = res
+    if kv_ip is None:
+        _, vjp = jax.vjp(
+            lambda q_, kv_: _cross_small_xla(q_, kv_, None, heads, scale,
+                                             ip_scale), q, kv)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda q_, kv_, ki_: _cross_small_xla(q_, kv_, ki_, heads, scale,
+                                              ip_scale), q, kv, kv_ip)
+    return vjp(g)
+
+
+_cross_small_core.defvjp(_cross_small_fwd, _cross_small_bwd)
+
+CROSS_SMALL_BLOCK_Q = int(os.environ.get("IDMVTON_CROSS_BLOCK_Q", "2048"))
+
+
+def cross_attention_small_kv(q, kv, kv_ip=None, *, heads: int,
+                             scale: Optional[float] = None,
+                             ip_scale: float = 1.0,
+                             block_q: Optional[int] = None):
+    """Cross-attention over a VMEM-resident context, GEMM layouts end to end.
+
+    q: (B, N, H*D) — the to_q projection output (merged heads).
+    kv: (B, S_text, 2*H*D) — fused to_kv projection of the text context.
+    kv_ip: optional (B, S_ip, 2*H*D) — to_kv_ip projection of the IP tokens;
+    branches use INDEPENDENT softmaxes summed with ip_scale
+    (IPAttnProcessor2_0). Returns (B, N, H*D).
+    """
+    hd = q.shape[-1]
+    d = hd // heads
+    scale = scale if scale is not None else d ** -0.5
+    return _cross_small_core(q, kv, kv_ip, heads, float(scale),
+                             float(ip_scale),
+                             block_q or CROSS_SMALL_BLOCK_Q)
+
+
+def cross_attention_small_kv_supported(inner: int, heads: int,
+                                       s_kv: int) -> bool:
+    # MEASURED REJECTION (v5e trace, scripts/analyze_trace.py): this kernel
+    # runs 9.4 ms/tryon-fwd vs 5.6 ms for the XLA einsum chain it replaces —
+    # at 77/16-token KV the per-head GEMMs (K=64, N<=80) are DMA/overhead
+    # bound and XLA's fusions win. Kept (with tests) for potential longer-KV
+    # use; opt in with IDMVTON_CROSS_KERNEL=1.
+    if os.environ.get("IDMVTON_CROSS_KERNEL", "0") != "1":
+        return False
+    d = inner // heads
+    return (inner % _LANE == 0 and d <= _LANE and _LANE % d == 0
+            and s_kv <= 1024)

@@ -26,8 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 CONV_VMEM_LIMIT_MB = int(os.environ.get("IDMVTON_CONV_VMEM_MB", "100"))
-# rows per output block (bh * W); tuned for MXU-efficient GEMM heights
-CONV_ROWS_TARGET = int(os.environ.get("IDMVTON_CONV_ROWS", "2048"))
+# rows per output block (bh * W); tuned on v5e (scripts/ab_step.py):
+# 4096 -> 203.5 ms full tryon fwd vs 203.9 at 1024, 205.7 at 2048
+CONV_ROWS_TARGET = int(os.environ.get("IDMVTON_CONV_ROWS", "4096"))
 
 
 def _conv3_kernel(x_ref, w_ref, b_ref, o_ref, *, bh: int, wdt: int, c: int):
@@ -104,6 +105,180 @@ def _conv3_forward(x, w, b, rows_target):
     return out
 
 
+def _conv3_hblock_kernel(x_hbm, w_ref, b_ref, o_ref, xs_ref, sem, *,
+                         bh: int, wdt: int, c: int, h: int, nb: int):
+    # x_hbm: full (B, H, W, C) array left in HBM; each (bi, hi) window of
+    # bh+2 halo rows is DMA'd into the xs scratch exactly once (at j == 0) —
+    # no host-side pad/gather materialization (a measured ~65 ms of copies
+    # at VAE scale). W borders and out-of-range H edge rows are zeroed.
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # W interior lives at column base 8 (DMA sublane offsets must be
+    # 8-aligned on Mosaic); taps read at base-1+dx, which is fine for
+    # unaligned VMEM *reads*
+    base = 8
+
+    @pl.when(j == 0)
+    def _load():
+        zcol = jnp.zeros((bh + 2, 1, c), xs_ref.dtype)
+        xs_ref[:, base - 1:base] = zcol
+        xs_ref[:, base + wdt:base + wdt + 1] = zcol
+        zrow = jnp.zeros((1, wdt, c), xs_ref.dtype)
+        if nb == 1:
+            pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(0, h)],
+                xs_ref.at[pl.ds(1, h), base:base + wdt], sem).start()
+            xs_ref[0:1, base:base + wdt] = zrow
+            xs_ref[h + 1:h + 2, base:base + wdt] = zrow
+            pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(0, h)],
+                xs_ref.at[pl.ds(1, h), base:base + wdt], sem).wait()
+        else:
+            @pl.when(hi == 0)
+            def _first():
+                pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(0, bh + 1)],
+                    xs_ref.at[pl.ds(1, bh + 1), base:base + wdt],
+                    sem).start()
+                xs_ref[0:1, base:base + wdt] = zrow
+                pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(0, bh + 1)],
+                    xs_ref.at[pl.ds(1, bh + 1), base:base + wdt],
+                    sem).wait()
+
+            @pl.when(hi == nb - 1)
+            def _last():
+                pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(h - bh - 1, bh + 1)],
+                    xs_ref.at[pl.ds(0, bh + 1), base:base + wdt],
+                    sem).start()
+                xs_ref[bh + 1:bh + 2, base:base + wdt] = zrow
+                pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(h - bh - 1, bh + 1)],
+                    xs_ref.at[pl.ds(0, bh + 1), base:base + wdt],
+                    sem).wait()
+
+            @pl.when(jnp.logical_and(hi > 0, hi < nb - 1))
+            def _interior():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(hi * bh - 1, bh + 2)],
+                    xs_ref.at[pl.ds(0, bh + 2), base:base + wdt], sem)
+                cp.start()
+                cp.wait()
+
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = xs_ref[dy:dy + bh, base - 1 + dx:base - 1 + dx + wdt, :]
+            xf = xs.reshape(bh * wdt, c)
+            tap = (3 * dy + dx) * c
+            wk = w_ref[tap:tap + c, :]
+            d = jax.lax.dot_general(
+                xf, wk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = d if acc is None else acc + d
+    acc = acc + b_ref[0][None, :]
+    o_ref[0] = acc.reshape(bh, wdt, -1).astype(o_ref.dtype)
+
+
+def _pick_bh_hblock(h: int, wdt: int) -> int:
+    # target ~8k GEMM rows per block: large MXU tiles, VMEM well under budget
+    best = 1
+    for bh in range(1, h + 1):
+        if h % bh == 0 and bh * wdt <= 8192:
+            best = bh
+    return best
+
+
+def _conv3_hblock_forward(x, w, b):
+    """Row-blocked variant for activations too large to keep whole in VMEM
+    (the 768x1024-scale VAE encoder/decoder convs — XLA ran those at 29%
+    MFU, 238 ms of a 298 ms decode; this kernel measures 95% MFU)."""
+    bsz, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    bh = _pick_bh_hblock(h, wdt)
+    nb = h // bh
+    bn = _pick_bn(cout)
+    wf = w.reshape(9 * cin, cout)
+    bias = (jnp.zeros((cout,), jnp.float32) if b is None
+            else b.astype(jnp.float32)).reshape(1, cout)
+
+    grid = (bsz, nb, cout // bn)
+    out = pl.pallas_call(
+        functools.partial(_conv3_hblock_kernel, bh=bh, wdt=wdt, c=cin,
+                          h=h, nb=nb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9 * cin, bn), lambda bi, hi, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda bi, hi, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, wdt, bn),
+                               lambda bi, hi, j: (bi, hi, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bh + 2, wdt + 16, cin), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=CONV_VMEM_LIMIT_MB * 1024 * 1024,
+        ) if jax.default_backend() == "tpu" else None,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * wdt * cin * cout,
+            bytes_accessed=x.size * 2 + bsz * h * wdt * cout * 2,
+            transcendentals=0,
+        ),
+        interpret=(jax.default_backend() != "tpu"),
+    )(x, wf, bias)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _conv3_hblock_core(x, w, b):
+    return _conv3_hblock_forward(x, w, b)
+
+
+def _conv3_hblock_fwd(x, w, b):
+    return _conv3_hblock_forward(x, w, b), (x, w, b)
+
+
+def _conv3_hblock_bwd(res, g):
+    x, w, b = res
+    if b is None:
+        _, vjp = jax.vjp(lambda x_, w_: _conv3_xla(x_, w_, None), x, w)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(_conv3_xla, x, w, b)
+    return vjp(g)
+
+
+_conv3_hblock_core.defvjp(_conv3_hblock_fwd, _conv3_hblock_bwd)
+
+
+def conv3x3_hblock(x, w, b=None):
+    """Row-blocked conv3x3 for large activations (see _conv3_hblock_forward).
+    x (B, H, W, Cin), w (3, 3, Cin, Cout) HWIO, stride 1, SAME."""
+    return _conv3_hblock_core(x, w, b)
+
+
+def conv3x3_hblock_supported(x, w) -> bool:
+    if w.shape[:2] != (3, 3):
+        return False
+    b, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    bn = _pick_bn(cout)
+    if cin < _LANE or cout < _LANE or bn <= 0 or wdt < 8:
+        return False
+    bh = _pick_bh_hblock(h, wdt)
+    # single window scratch (the input stays in HBM; no double buffering)
+    win_bytes = (bh + 2) * (wdt + 16) * cin * 2
+    o_bytes = bh * wdt * bn * 2
+    acc_bytes = bh * wdt * bn * 4
+    w_bytes = 9 * cin * bn * 2
+    need = win_bytes + 2 * (w_bytes + o_bytes) + acc_bytes
+    return need < int(0.85 * CONV_VMEM_LIMIT_MB) * 1024 * 1024
+
+
 def _conv3_xla(x, w, b):
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
@@ -145,7 +320,9 @@ def conv3x3_supported(x, w) -> bool:
     b, h, wdt, cin = x.shape
     cout = w.shape[-1]
     bn = _pick_bn(cout)
-    if cin < _LANE or bn <= 0 or wdt < 8:
+    # cout < 128 (e.g. the 4-channel conv_out) would run GEMMs at <=1/32
+    # lane utilization — XLA's layout tricks do better there
+    if cin < _LANE or cout < _LANE or bn <= 0 or wdt < 8:
         return False
     # scoped-VMEM budget with Mosaic's double buffering: 2x the whole padded
     # per-batch activation block + 2x weight/bias/output blocks + the fp32

@@ -116,3 +116,24 @@ def test_resampler_shapes():
     out = resampler_apply(p, cfg, x)
     assert out.shape == (2, cfg.num_queries, cfg.output_dim)
     assert jnp.isfinite(out).all()
+
+
+def test_vae_decode_bf16_close_to_fp32():
+    """bf16-native decode (TPU default) vs force_upcast fp32: pixel delta
+    well under the uint8 quantization step (VAEConfig.force_upcast note)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from idmvton_tpu.core.config import VAEConfig
+    from idmvton_tpu.models.vae import init_vae, vae_decode
+
+    cfg = VAEConfig.tiny()
+    params = init_vae(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, cfg.latent_channels),
+                          jnp.bfloat16)
+    lo = vae_decode(params, dataclasses.replace(cfg, force_upcast=False), z)
+    hi = vae_decode(params, dataclasses.replace(cfg, force_upcast=True),
+                    z.astype(jnp.float32))
+    diff = np.abs(np.asarray(lo, np.float32) - np.asarray(hi, np.float32))
+    assert diff.max() < 1.0 / 16, diff.max()

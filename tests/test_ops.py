@@ -390,3 +390,88 @@ def test_conv3x3_pallas_gradient():
         np.testing.assert_allclose(np.asarray(a.astype(jnp.float32)),
                                    np.asarray(bb.astype(jnp.float32)),
                                    rtol=1e-1, atol=1e-1)
+
+
+def test_cross_attention_small_kv_matches_xla():
+    from idmvton_tpu.ops.pallas_attention import (
+        cross_attention_small_kv, _cross_small_xla)
+    b, n, heads, d, s, si = 2, 192, 4, 32, 77, 16
+    hd = heads * d
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, n, hd), jnp.bfloat16)
+    kv = jax.random.normal(k2, (b, s, 2 * hd), jnp.bfloat16)
+    kvi = jax.random.normal(k3, (b, si, 2 * hd), jnp.bfloat16)
+    for ip in (None, kvi):
+        got = cross_attention_small_kv(q, kv, ip, heads=heads, ip_scale=0.7,
+                                       block_q=128)
+        want = _cross_small_xla(q, kv, ip, heads, d ** -0.5, 0.7)
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(want.astype(jnp.float32)), rtol=3e-2, atol=3e-2)
+
+
+def test_cross_attention_small_kv_equals_decoupled_reference():
+    """Kernel == the decoupled_ip_attention reference path on a transformer-
+    realistic config (heads*d % 128 == 0, odd N forcing q padding)."""
+    from idmvton_tpu.ops.attention import decoupled_ip_attention
+    from idmvton_tpu.ops.pallas_attention import cross_attention_small_kv
+    b, n, heads, d, s, si = 1, 200, 2, 64, 77, 16
+    hd = heads * d
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(k1, (b, n, hd), jnp.float32)
+    kv = jax.random.normal(k2, (b, s, 2 * hd), jnp.float32)
+    kvi = jax.random.normal(k3, (b, si, 2 * hd), jnp.float32)
+    got = cross_attention_small_kv(q, kv, kvi, heads=heads, ip_scale=1.0,
+                                   block_q=128)
+    qh = q.reshape(b, n, heads, d)
+    kt = kv[..., :hd].reshape(b, s, heads, d)
+    vt = kv[..., hd:].reshape(b, s, heads, d)
+    ki = kvi[..., :hd].reshape(b, si, heads, d)
+    vi = kvi[..., hd:].reshape(b, si, heads, d)
+    want = decoupled_ip_attention(qh, kt, vt, ki, vi, impl="xla")
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(want.reshape(b, n, hd)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cross_attention_module_pallas_matches_xla():
+    """models.attention.cross_attention: the GEMM-layout small-KV kernel path
+    (impl='pallas', interpret on CPU) == the XLA decoupled path, with norm
+    fusion and IP tokens."""
+    from idmvton_tpu.models.attention import cross_attention, init_attention
+    from idmvton_tpu.models.layers import init_norm
+    heads, d = 2, 64
+    inner = heads * d
+    p = init_attention(jax.random.PRNGKey(0), inner, context_dim=96,
+                       heads=heads, head_dim=d, ip_adapter=True,
+                       dtype=jnp.float32)
+    nrm = init_norm(inner)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 160, inner), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 77 + 16, 96),
+                            jnp.float32)
+    kw = dict(heads=heads, ip_num_tokens=16, ip_scale=0.6, norm=nrm)
+    got = cross_attention(p, x, ctx, impl="pallas", **kw)
+    want = cross_attention(p, x, ctx, impl="xla", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_conv3x3_hblock_matches_xla():
+    from idmvton_tpu.ops.pallas_conv import (conv3x3_hblock,
+                                             conv3x3_hblock_supported)
+    # last shape forces bh<h (multiple row blocks + halo duplication)
+    for (shape, cout) in [((1, 24, 16, 128), 128), ((2, 12, 8, 256), 128),
+                          ((1, 24, 512, 128), 128)]:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(shape[1]), 3)
+        x = jax.random.normal(k1, shape, jnp.bfloat16)
+        w = jax.random.normal(k2, (3, 3, shape[-1], cout),
+                              jnp.bfloat16) * 0.05
+        b = jax.random.normal(k3, (cout,), jnp.float32)
+        assert conv3x3_hblock_supported(x, w)
+        got = conv3x3_hblock(x, w, b)
+        want = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                                   np.asarray(want), rtol=5e-2, atol=5e-2)
