@@ -475,3 +475,22 @@ def test_conv3x3_hblock_matches_xla():
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
                                    np.asarray(want), rtol=5e-2, atol=5e-2)
+
+
+def test_flash_gemm_fixed_shift_vs_online_max(monkeypatch):
+    """Both softmax modes of the GEMM-layout flash kernel agree with the XLA
+    oracle (fixed-shift is exact by shift-invariance below the clamp)."""
+    from idmvton_tpu.ops import pallas_attention as PA
+    b, n, heads, d, m = 2, 192, 2, 64, 128
+    hd = heads * d
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    qkv = jax.random.normal(k1, (b, n, 3 * hd), jnp.float32)
+    kv_ref = jax.random.normal(k2, (b - 1, m, 2 * hd), jnp.float32)
+    want = PA._gemm_ref_xla(qkv, kv_ref, heads, d ** -0.5, 0, 1)
+    for mode in ("0", "1"):
+        monkeypatch.setenv("IDMVTON_FLASH_FIXED_SHIFT", mode)
+        got = PA.flash_attention_gemm(qkv, kv_ref, heads=heads,
+                                      uncond_rows=1, block_q=128,
+                                      block_kv=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
