@@ -36,9 +36,12 @@ import os
 # grid-step overhead dominates below ~1024x2048 tiles
 DEFAULT_BLOCK_Q = int(os.environ.get("IDMVTON_FLASH_BLOCK_Q", "1024"))
 DEFAULT_BLOCK_KV = int(os.environ.get("IDMVTON_FLASH_BLOCK_KV", "2048"))
-# below this KV length, XLA's materialized attention beats the blockwise
-# kernel's grid overhead (tuned in-graph on v5e)
-XLA_KV_CUTOFF = int(os.environ.get("IDMVTON_FLASH_XLA_CUTOFF", "0"))
+# below this KV length, XLA's fused attention beats the blockwise kernel:
+# the GarmentNet's 77-token cross-attention ran at 13.5% MFU through the
+# kernel (5.9 ms/fwd + split-heads copies) vs ~2.5 ms on the XLA path.
+# (The round-1 note "XLA slower below 2048 KV" applied to the SELF-attention
+# sequence lengths, which never dip below 768 — those still take the kernel.)
+XLA_KV_CUTOFF = int(os.environ.get("IDMVTON_FLASH_XLA_CUTOFF", "256"))
 _NEG_INF = -1e30
 _LANE = 128
 
@@ -498,6 +501,11 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
 
     nbytes = jnp.dtype(qkv.dtype).itemsize
     kv_bytes = (qkv.size + (kv_ref.size if has_garm else 0)) * nbytes
+    # the uncond CFG rows never compute or fetch their (all-zero) garment
+    # half — count only the LIVE work so MFU reporting and Mosaic's
+    # scheduling hints reflect reality
+    live_rows = b - uncond_rows
+    live_logits = b * n * n + live_rows * n * m_garm
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -512,9 +520,9 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
             vmem_limit_bytes=GEMM_VMEM_LIMIT_MB * 1024 * 1024,
         ) if jax.default_backend() == "tpu" else None,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * n * (n + m_garm) * d,
+            flops=4 * heads * live_logits * d,
             bytes_accessed=kv_bytes + b * n * hd * nbytes,
-            transcendentals=b * heads * n * (n + m_garm),
+            transcendentals=heads * live_logits,
         ),
         interpret=(jax.default_backend() != "tpu"),
     )(*inputs)
