@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--logging_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--zero1", action="store_true",
+                   help="partition the AdamW moments over the data axis "
+                        "(ZeRO stage 1, parallel/zero.py) — ~2x params of "
+                        "optimizer HBM saved per chip at dp>=2")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (smoke tests)")
     p.add_argument("--resume_from_checkpoint", default=None,
@@ -96,10 +100,10 @@ def main(argv=None):
                         max_grad_norm=args.max_grad_norm,
                         optimizer=args.optimizer)
     state = init_train_state(models, tx)
-    step_fn = jax.jit(make_train_step(models, sched, tx,
-                                      snr_gamma=args.snr_gamma,
-                                      compute_dtype=dtype,
-                                      remat=not args.no_remat))
+    raw_step = make_train_step(models, sched, tx,
+                               snr_gamma=args.snr_gamma,
+                               compute_dtype=dtype,
+                               remat=not args.no_remat)
 
     state_dir = args.state_dir or os.path.join(args.output_dir, "state")
     if args.resume_from_checkpoint:
@@ -110,7 +114,14 @@ def main(argv=None):
 
     mesh = make_mesh()
     n_dev = len(jax.devices())
-    state = jax.device_put(state, replicated(mesh))
+    if args.zero1 and n_dev > 1:
+        from idmvton_tpu.parallel.zero import zero1_state_sharding
+        shardings = zero1_state_sharding(state, mesh)
+        state = jax.device_put(state, shardings)
+        step_fn = jax.jit(raw_step, out_shardings=(shardings, None))
+    else:
+        state = jax.device_put(state, replicated(mesh))
+        step_fn = jax.jit(raw_step)
     global_batch = args.train_batch_size * n_dev
 
     tok_dir = args.tokenizer_dir or (args.pretrained if args.diffusers else None)

@@ -198,3 +198,17 @@ def test_train_cli_tiny_with_eval_and_8bit(tmp_path):
     evals = [f for f in os.listdir(out) if f.endswith("_test.jpg")]
     assert len(evals) == 2, os.listdir(out)
     assert os.path.isdir(os.path.join(out, "step_1"))
+
+
+def test_train_cli_tiny_zero1(tmp_path):
+    """--zero1 partitions the optimizer moments over the data axis and the
+    step still runs end to end."""
+    root = str(tmp_path / "vz")
+    make_viton_tree(root, n=8, phase="train", size=(32, 32))
+    out = str(tmp_path / "outz")
+    from idmvton_tpu.cli.train import main
+    main(["--data_dir", root, "--output_dir", out, "--tiny",
+          "--width", "32", "--height", "32", "--train_batch_size", "1",
+          "--max_steps", "1", "--checkpointing_steps", "1",
+          "--logging_steps", "1", "--zero1"])
+    assert os.path.isdir(os.path.join(out, "step_1"))
