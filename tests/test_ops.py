@@ -494,3 +494,29 @@ def test_flash_gemm_fixed_shift_vs_online_max(monkeypatch):
                                       block_kv=128)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_hblock_gradient():
+    """Full-size training can route resnet convs through the hblock kernel;
+    its custom VJP (XLA recompute) must match direct XLA gradients."""
+    from idmvton_tpu.ops.pallas_conv import conv3x3_hblock
+
+    def f_pl(x, w, b):
+        return jnp.sum(jnp.square(conv3x3_hblock(x, w, b)
+                                  .astype(jnp.float32)))
+
+    def f_xla(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (1, 8, 8, 128), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 128, 128), jnp.float32) * 0.05
+    b = jnp.zeros((128,), jnp.float32)
+    gp = jax.grad(f_pl, argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
