@@ -85,12 +85,14 @@ import os
 _CONV_FP32_OUT = os.environ.get("IDMVTON_CONV_FP32_OUT") == "1"
 
 
-def conv2d(params, x, *, stride: int = 1, padding="SAME"):
+def conv2d(params, x, *, stride: int = 1, padding="SAME", impl=None):
     """NHWC conv. ``padding`` is "SAME", "VALID" or explicit pairs.
 
-    The MXU accumulates bf16 convs in fp32 internally either way;
-    IDMVTON_CONV_FP32_OUT=1 requests an fp32 output + fused convert instead
-    (measured neutral; breaks bf16 training's backward conv)."""
+    ``impl`` selects 'xla'/'pallas' per the repo convention (None = auto:
+    pallas on TPU). The MXU accumulates bf16 convs in fp32 internally
+    either way; IDMVTON_CONV_FP32_OUT=1 requests an fp32 output + fused
+    convert instead (measured neutral; breaks bf16 training's backward
+    conv)."""
     k = params["kernel"]
     if (stride == 1 and k.shape[:2] == (3, 3)
             and (padding == "SAME" or padding == ((1, 1), (1, 1)))):
@@ -99,7 +101,7 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME"):
             conv3x3, conv3x3_supported, conv3x3_hblock,
             conv3x3_hblock_supported,
         )
-        if resolve(None) == "pallas":
+        if resolve(impl) == "pallas":
             if conv3x3_supported(x, k):
                 return conv3x3(x, k.astype(x.dtype), params.get("bias"))
             if conv3x3_hblock_supported(x, k):
@@ -119,7 +121,7 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME"):
 
 
 def group_norm(params, x, *, num_groups: int, eps: float = 1e-5,
-               act: Optional[str] = None):
+               act: Optional[str] = None, impl=None):
     """GroupNorm over channel-last input of any spatial rank.
 
     Statistics accumulate in fp32 via the reduction dtype WITHOUT
@@ -142,7 +144,7 @@ def group_norm(params, x, *, num_groups: int, eps: float = 1e-5,
     from idmvton_tpu.ops.dispatch import resolve
     from idmvton_tpu.ops.pallas_norm import gn_spatial_stats, gn_stats_supported
     xf32 = x.astype(jnp.float32)
-    if resolve(None) == "pallas" and gn_stats_supported(x) and n_spatial >= 64:
+    if resolve(impl) == "pallas" and gn_stats_supported(x) and n_spatial >= 64:
         # XLA lowers this spatial reduce to a *convolution* at several UNet
         # sites (~50x off bandwidth, 17.8 ms/tryon-fwd); the Pallas kernel
         # keeps channels in lanes and accumulates with plain vector adds

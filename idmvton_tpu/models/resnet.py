@@ -31,16 +31,18 @@ def init_resnet_block(key, in_ch: int, out_ch: int, *, temb_dim: Optional[int],
     return p
 
 
-def resnet_block(params, x, temb=None, *, num_groups: int = 32):
-    h = group_norm(params["norm1"], x, num_groups=num_groups, act="silu")
-    h = conv2d(params["conv1"], h)
+def resnet_block(params, x, temb=None, *, num_groups: int = 32, impl=None):
+    h = group_norm(params["norm1"], x, num_groups=num_groups, act="silu",
+                   impl=impl)
+    h = conv2d(params["conv1"], h, impl=impl)
     if temb is not None and "time_emb_proj" in params:
         t = linear(params["time_emb_proj"], jax.nn.silu(temb.astype(jnp.float32)).astype(h.dtype))
         h = h + t[:, None, None, :]
-    h = group_norm(params["norm2"], h, num_groups=num_groups, act="silu")
-    h = conv2d(params["conv2"], h)
+    h = group_norm(params["norm2"], h, num_groups=num_groups, act="silu",
+                   impl=impl)
+    h = conv2d(params["conv2"], h, impl=impl)
     if "conv_shortcut" in params:
-        x = conv2d(params["conv_shortcut"], x)
+        x = conv2d(params["conv_shortcut"], x, impl=impl)
     return x + h
 
 
@@ -48,19 +50,20 @@ def init_downsample(key, ch: int, dtype=jnp.bfloat16):
     return {"conv": init_conv(key, ch, ch, 3, dtype=dtype)}
 
 
-def downsample2d(params, x):
+def downsample2d(params, x, *, impl=None):
     # diffusers Downsample2D: stride-2 conv with asymmetric (0,1) padding
-    return conv2d(params["conv"], x, stride=2, padding=((0, 1), (0, 1)))
+    return conv2d(params["conv"], x, stride=2, padding=((0, 1), (0, 1)),
+                  impl=impl)
 
 
 def init_upsample(key, ch: int, out_ch: Optional[int] = None, dtype=jnp.bfloat16):
     return {"conv": init_conv(key, ch, out_ch or ch, 3, dtype=dtype)}
 
 
-def upsample2d(params, x, out_hw: Optional[tuple] = None):
+def upsample2d(params, x, out_hw: Optional[tuple] = None, *, impl=None):
     """Nearest 2x upsample (or to explicit ``out_hw`` — diffusers forwards the
     skip connection's size so odd input dims round-trip, Upsample2D semantics)."""
     b, h, w, c = x.shape
     th, tw = out_hw if out_hw is not None else (h * 2, w * 2)
     x = jax.image.resize(x, (b, th, tw, c), method="nearest")
-    return conv2d(params["conv"], x)
+    return conv2d(params["conv"], x, impl=impl)

@@ -53,7 +53,8 @@ def transformer2d(params, x, context, *, heads: int, num_groups: int = 32,
     """
     b, h, w, c = x.shape
     residual = x
-    hs = group_norm(params["norm"], x, num_groups=num_groups, eps=1e-6)
+    hs = group_norm(params["norm"], x, num_groups=num_groups, eps=1e-6,
+                    impl=impl)
     hs = hs.reshape(b, h * w, c)
     hs = linear(params["proj_in"], hs)
     emitted = []

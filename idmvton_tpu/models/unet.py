@@ -217,9 +217,10 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, context, *,
         return h
 
     run_res = _maybe_remat(
-        lambda p, x, t: resnet_block(p, x, t, num_groups=ng), remat)
+        lambda p, x, t: resnet_block(p, x, t, num_groups=ng, impl=impl),
+        remat)
 
-    h = conv2d(params["conv_in"], sample)
+    h = conv2d(params["conv_in"], sample, impl=impl)
     res_stack = [h]
 
     # down
@@ -231,7 +232,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, context, *,
                 h = run_t2d(blk["attentions"][i], h, cfg.transformer_depth[lvl])
             res_stack.append(h)
         if "downsample" in blk:
-            h = downsample2d(blk["downsample"], h)
+            h = downsample2d(blk["downsample"], h, impl=impl)
             res_stack.append(h)
 
     # mid
@@ -255,11 +256,12 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, context, *,
                 h = run_t2d(blk["attentions"][j], h, cfg.transformer_depth[lvl])
         if "upsample" in blk:
             target = res_stack[-1].shape[1:3] if res_stack else None
-            h = upsample2d(blk["upsample"], h, out_hw=target)
+            h = upsample2d(blk["upsample"], h, out_hw=target, impl=impl)
 
     if cfg.skip_final_output:
         return None, tuple(emitted)
 
-    h = group_norm(params["conv_norm_out"], h, num_groups=ng, act="silu")
-    h = conv2d(params["conv_out"], h)
+    h = group_norm(params["conv_norm_out"], h, num_groups=ng, act="silu",
+                   impl=impl)
+    h = conv2d(params["conv_out"], h, impl=impl)
     return h, tuple(emitted)

@@ -248,7 +248,7 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                        hpb: int, d: int, n_own: int, m_garm: int,
                        block_kv: int, own_steps: int, n_kv: int,
                        uncond_rows: int, sink_tokens: int, has_garm: bool,
-                       prescale_q: bool):
+                       prescale_q: bool, fixed_shift: bool):
     if has_garm:
         kg_ref, vg_ref, o_ref = rest[:3]
         scratch = rest[3:]
@@ -303,7 +303,7 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                 col = base + jax.lax.broadcasted_iota(jnp.int32,
                                                       logits.shape, 1)
                 logits = jnp.where(col < limit, logits, _NEG_INF)
-            if _fixed_shift():
+            if fixed_shift:
                 # clamp at 80 (< fp32 exp overflow at ~88): softmax weights
                 # are exact for logits <= 80, and a logit that large would
                 # dominate the softmax astronomically anyway — never NaN
@@ -428,9 +428,10 @@ def _pick_block_c(hd: int, d: int) -> int:
     return _LANE
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
-                     block_q, block_kv, block_c):
+                     block_q, block_kv, block_c, fixed_shift):
     b, n, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // heads
@@ -485,7 +486,7 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
         _flash_kernel_gemm, scale=float(scale), hpb=hpb, d=d, n_own=n,
         m_garm=m_garm, block_kv=block_kv, own_steps=own_steps, n_kv=n_kv,
         uncond_rows=uncond_rows, sink_tokens=sink_tokens, has_garm=has_garm,
-        prescale_q=prescale_q)
+        prescale_q=prescale_q, fixed_shift=fixed_shift)
 
     in_specs = [qkv_spec(0), qkv_spec(1), qkv_spec(2)]
     inputs = [qkv, qkv, qkv]
@@ -530,14 +531,18 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
 
 
 def _flash_gemm_fwd(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
-                    block_q, block_kv, block_c):
+                    block_q, block_kv, block_c, fixed_shift):
+    # DIFFERENTIATED path: force the exact online-max softmax regardless of
+    # the fixed-shift default — the backward oracle (_gemm_ref_xla) computes
+    # the unclamped softmax, and training logits are not bounded the way
+    # converged inference logits are.
     out = _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens,
-                           uncond_rows, block_q, block_kv, block_c)
+                           uncond_rows, block_q, block_kv, block_c, False)
     return out, (qkv, kv_ref)
 
 
 def _flash_gemm_bwd(heads, scale, sink_tokens, uncond_rows, block_q,
-                    block_kv, block_c, residuals, g):
+                    block_kv, block_c, fixed_shift, residuals, g):
     qkv, kv_ref = residuals
     if kv_ref is None:
         _, vjp = jax.vjp(
@@ -595,7 +600,7 @@ def flash_attention_gemm(qkv, kv_ref=None, *, heads: int,
                             block_q or DEFAULT_GEMM_BLOCK_Q,
                             block_kv or DEFAULT_GEMM_BLOCK_KV,
                             block_c if block_c is not None
-                            else DEFAULT_GEMM_BLOCK_C)
+                            else DEFAULT_GEMM_BLOCK_C, _fixed_shift())
 
 
 def flash_attention_gemm_supported(inner: int, heads: int) -> bool:

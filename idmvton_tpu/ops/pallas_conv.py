@@ -186,11 +186,7 @@ def _conv3_hblock_kernel(x_hbm, w_ref, b_ref, o_ref, xs_ref, sem, *,
 
 def _pick_bh_hblock(h: int, wdt: int) -> int:
     # target ~8k GEMM rows per block: large MXU tiles, VMEM well under budget
-    best = 1
-    for bh in range(1, h + 1):
-        if h % bh == 0 and bh * wdt <= 8192:
-            best = bh
-    return best
+    return _pick_bh(h, wdt, 8192)
 
 
 def _conv3_hblock_forward(x, w, b):
@@ -269,12 +265,13 @@ def conv3x3_hblock_supported(x, w) -> bool:
     bn = _pick_bn(cout)
     if cin < _LANE or cout < _LANE or bn <= 0 or wdt < 8:
         return False
+    es = jnp.dtype(x.dtype).itemsize     # fp32 inputs are 2x the bf16 budget
     bh = _pick_bh_hblock(h, wdt)
     # single window scratch (the input stays in HBM; no double buffering)
-    win_bytes = (bh + 2) * (wdt + 16) * cin * 2
-    o_bytes = bh * wdt * bn * 2
+    win_bytes = (bh + 2) * (wdt + 16) * cin * es
+    o_bytes = bh * wdt * bn * es
     acc_bytes = bh * wdt * bn * 4
-    w_bytes = 9 * cin * bn * 2
+    w_bytes = 9 * cin * bn * es
     need = win_bytes + 2 * (w_bytes + o_bytes) + acc_bytes
     return need < int(0.85 * CONV_VMEM_LIMIT_MB) * 1024 * 1024
 
@@ -328,10 +325,11 @@ def conv3x3_supported(x, w) -> bool:
     # per-batch activation block + 2x weight/bias/output blocks + the fp32
     # accumulator (measured: a (6,512,384,128->256) VAE-decode conv hits
     # 105.8M and OOMs the 100M scoped limit — UNet shapes stay <25M)
+    es = jnp.dtype(x.dtype).itemsize     # fp32 inputs are 2x the bf16 budget
     bh = _pick_bh(h, wdt, CONV_ROWS_TARGET)
-    x_bytes = (h + 2) * (wdt + 2) * cin * 2
-    w_bytes = 9 * cin * bn * 2
-    o_bytes = bh * wdt * bn * 2
+    x_bytes = (h + 2) * (wdt + 2) * cin * es
+    w_bytes = 9 * cin * bn * es
+    o_bytes = bh * wdt * bn * es
     acc_bytes = bh * wdt * bn * 4
     need = 2 * (x_bytes + w_bytes + o_bytes) + acc_bytes
     return need < int(0.85 * CONV_VMEM_LIMIT_MB) * 1024 * 1024

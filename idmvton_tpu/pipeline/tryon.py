@@ -183,7 +183,7 @@ class TryonPipeline:
             "cloth_embeds": cloth_embeds,
         }
 
-    def staged_encoder(self):
+    def staged_encoder(self, *, vae_sample: bool = True):
         """Returns encode(params, rng, inputs_dict) -> cond dict, built from
         per-tower jit programs with batched tower calls (3 prompt sets in one
         text-tower pass, cond+uncond in one vision pass, 3 VAE encodes in
@@ -206,7 +206,8 @@ class TryonPipeline:
 
         @jax.jit
         def vae_fn(p, imgs, rng):
-            return vae_encode(p["vae"], m.vae_cfg, imgs, rng=rng)
+            return vae_encode(p["vae"], m.vae_cfg, imgs, rng=rng,
+                              sample=vae_sample)
 
         @functools.partial(jax.jit, static_argnames=("lat_hw",))
         def mask_fn(mask, lat_hw):
@@ -373,8 +374,9 @@ class TryonPipeline:
 
         feats_cached = None
         if garment_cache == "once":
+            # mid-point of the ACTUAL (possibly strength-truncated) schedule
             feats_cached = self.garment_features(
-                params, cond, ts[num_steps // 2], impl=impl)
+                params, cond, ts[n_steps // 2], impl=impl)
 
         # timestep the blend noises TO: the next loop iteration's t
         # (reference: noise_timestep = timesteps[i+1]); -1 marks the last step
@@ -478,6 +480,7 @@ class TryonPipeline:
                           strength: float = 1.0,
                           garment_cache: str = "every_step",
                           inpaint_blend: bool = False,
+                          vae_sample: bool = True,
                           impl: Optional[str] = None):
         """Returns fn(params, rng, **tensor_kwargs) -> images built from
         small jitted programs: staged per-tower encode, a python loop over
@@ -492,7 +495,7 @@ class TryonPipeline:
         """
         m = self.models
         sched = self.scheduler
-        encode = self.staged_encoder()
+        encode = self.staged_encoder(vae_sample=vae_sample)
         step = jax.jit(functools.partial(
             self.denoise_step, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, impl=impl),
@@ -500,7 +503,8 @@ class TryonPipeline:
         feats_fn = jax.jit(functools.partial(self.garment_features, impl=impl))
         decode = jax.jit(self.decode)
         vae_enc = jax.jit(lambda p, x, r: vae_encode(p["vae"], m.vae_cfg, x,
-                                                     rng=r))
+                                                     rng=r,
+                                                     sample=vae_sample))
         blend = jax.jit(lambda lat, img, noise, mask, next_t: (
             (1.0 - mask.astype(jnp.float32))
             * jnp.where(next_t >= 0,

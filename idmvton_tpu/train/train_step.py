@@ -159,13 +159,14 @@ def tryon_loss(trainable: dict, models: TryonModels, scheduler: DDPMScheduler,
     per_example = jnp.mean(err, axis=(1, 2, 3))
     if snr_gamma is not None:
         snr = scheduler.snr(t)
-        if pt == "epsilon":
-            weight = jnp.minimum(snr, snr_gamma) / jnp.maximum(snr, 1e-8)
-        else:  # v_prediction: shift snr by +1 BEFORE both the min and the
-            # division (reference train_xl.py:732-737 divides min(snr+1, g)
-            # by snr+1, not min(snr, g))
+        if pt == "v_prediction":
+            # shift snr by +1 BEFORE both the min and the division
+            # (reference train_xl.py:732-737 divides min(snr+1, g) by
+            # snr+1, not min(snr, g)); epsilon AND sample use plain snr
             snr_v = snr + 1.0
             weight = jnp.minimum(snr_v, snr_gamma) / snr_v
+        else:
+            weight = jnp.minimum(snr, snr_gamma) / jnp.maximum(snr, 1e-8)
         per_example = per_example * weight
     return jnp.mean(per_example)
 

@@ -520,3 +520,34 @@ def test_conv3x3_hblock_gradient():
     for a, bb in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_unet_impl_xla_is_pure_xla(monkeypatch):
+    """impl='xla' must bypass every Pallas kernel even when the default
+    dispatch would pick pallas (CLAUDE.md convention; lets A/B runs measure
+    a pure-XLA graph)."""
+    from idmvton_tpu.ops import dispatch
+    from idmvton_tpu.ops import pallas_conv, pallas_norm, pallas_attention
+    from idmvton_tpu.core.config import UNetConfig
+    from idmvton_tpu.models.unet import init_unet, unet_apply
+
+    calls = []
+    monkeypatch.setattr(pallas_conv, "conv3x3",
+                        lambda *a, **k: calls.append("conv") or a[0])
+    monkeypatch.setattr(pallas_norm, "gn_spatial_stats",
+                        lambda *a, **k: calls.append("gn") or (None, None))
+    monkeypatch.setattr(pallas_attention, "flash_attention_gemm",
+                        lambda *a, **k: calls.append("attn") or a[0])
+    dispatch.set_default_impl("pallas")
+    try:
+        cfg = UNetConfig.tiny("none", in_channels=4, ip_adapter=False)
+        params = init_unet(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8, 4),
+                              jnp.float32)
+        ctx = jax.random.normal(jax.random.PRNGKey(2),
+                                (1, 7, cfg.cross_attention_dim), jnp.float32)
+        out, _ = unet_apply(params, cfg, x, jnp.int32(3), ctx, impl="xla")
+        assert bool(jnp.isfinite(out).all())
+        assert calls == [], calls
+    finally:
+        dispatch.set_default_impl(None)
