@@ -91,3 +91,28 @@ def test_stepwise_generate_matches_contract():
     assert jnp.isfinite(img).all()
     img2 = fn(models.params(), jax.random.PRNGKey(1), **inputs)
     np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+
+def test_stepwise_equals_fused_with_injected_noise():
+    """With deterministic (posterior-mode) VAE encodes and injected
+    init/step noises, the stepwise serving path and the fused generate()
+    program compute the same trajectory (golden fixtures dumped against one
+    path are valid for the other)."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w = 1, 32, 32
+    inputs = _tiny_inputs(b, h, w, models)
+    lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
+    init_noise = jax.random.normal(jax.random.PRNGKey(7),
+                                   (b, *lat_hw, 4), jnp.float32)
+    step_noise = jax.random.normal(jax.random.PRNGKey(8),
+                                   (2, b, *lat_hw, 4), jnp.float32)
+
+    fused = pipe.jit_generate(num_steps=2, vae_sample=False)(
+        models.params(), jax.random.PRNGKey(1), **inputs,
+        init_noise=init_noise, step_noise=step_noise)
+    stepwise = pipe.stepwise_generate(num_steps=2, vae_sample=False)(
+        models.params(), jax.random.PRNGKey(2), **inputs,
+        init_noise=init_noise, step_noise=step_noise)
+    np.testing.assert_allclose(np.asarray(stepwise), np.asarray(fused),
+                               rtol=2e-5, atol=2e-5)
