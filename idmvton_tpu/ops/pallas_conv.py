@@ -57,22 +57,52 @@ def _pick_bh(h: int, wdt: int, target: int) -> int:
     return best
 
 
-def _pick_bn(n: int) -> int:
-    if n <= 640:
-        return n
-    best = 0
-    for mult in range(1, 6):
-        bn = mult * _LANE
-        if n % bn == 0:
-            best = bn
-    return best
+# widest output block (lanes per grid step) considered; the per-shape
+# picker below narrows until the VMEM budget fits. Measured: bn width is
+# perf-NEUTRAL for the in-budget shapes (1280 vs 640 identical busy), but
+# a fixed global cap either evicts the biggest convs to XLA (cap too wide:
+# +7 ms) or rejects valid geometries — shape-aware is strictly safer.
+CONV_BN_MAX = int(os.environ.get("IDMVTON_CONV_BN_MAX", "1280"))
+
+
+def _bn_candidates(n: int):
+    if n <= CONV_BN_MAX:
+        yield n
+    for bn in range(min(CONV_BN_MAX, n), 0, -_LANE):
+        if bn % _LANE == 0 and n % bn == 0:
+            yield bn
+
+
+def _whole_act_need(h, wdt, cin, bn, bh, es):
+    x_bytes = (h + 2) * (wdt + 2) * cin * es
+    w_bytes = 9 * cin * bn * es
+    o_bytes = bh * wdt * bn * es
+    acc_bytes = bh * wdt * bn * 4
+    return 2 * (x_bytes + w_bytes + o_bytes) + acc_bytes
+
+
+def _vmem_budget() -> int:
+    return int(0.85 * CONV_VMEM_LIMIT_MB) * 1024 * 1024
+
+
+def _pick_bn(n: int, *, h=None, wdt=None, cin=None, es=2) -> int:
+    """Widest output block; when the activation geometry is given, the
+    widest that also fits the scoped-VMEM budget."""
+    for bn in _bn_candidates(n):
+        if h is None:
+            return bn
+        bh = _pick_bh(h, wdt, CONV_ROWS_TARGET)
+        if _whole_act_need(h, wdt, cin, bn, bh, es) < _vmem_budget():
+            return bn
+    return 0
 
 
 def _conv3_forward(x, w, b, rows_target):
     bsz, h, wdt, cin = x.shape
     cout = w.shape[-1]
     bh = _pick_bh(h, wdt, rows_target)
-    bn = _pick_bn(cout)
+    bn = _pick_bn(cout, h=h, wdt=wdt, cin=cin,
+                  es=jnp.dtype(x.dtype).itemsize)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * cin, cout)
     bias = (jnp.zeros((cout,), jnp.float32) if b is None
@@ -316,20 +346,13 @@ def conv3x3_supported(x, w) -> bool:
         return False
     b, h, wdt, cin = x.shape
     cout = w.shape[-1]
-    bn = _pick_bn(cout)
     # cout < 128 (e.g. the 4-channel conv_out) would run GEMMs at <=1/32
-    # lane utilization — XLA's layout tricks do better there
-    if cin < _LANE or cout < _LANE or bn <= 0 or wdt < 8:
+    # lane utilization — XLA's layout tricks do better there.
+    # _pick_bn with geometry narrows the output block until the scoped-VMEM
+    # budget fits (2x double-buffered activation/weight/output + fp32 acc;
+    # measured: a (6,512,384,128->256) VAE-decode conv OOMed the 100M
+    # scoped limit, and fp32 inputs need 2x the bf16 estimate)
+    if cin < _LANE or cout < _LANE or wdt < 8:
         return False
-    # scoped-VMEM budget with Mosaic's double buffering: 2x the whole padded
-    # per-batch activation block + 2x weight/bias/output blocks + the fp32
-    # accumulator (measured: a (6,512,384,128->256) VAE-decode conv hits
-    # 105.8M and OOMs the 100M scoped limit — UNet shapes stay <25M)
-    es = jnp.dtype(x.dtype).itemsize     # fp32 inputs are 2x the bf16 budget
-    bh = _pick_bh(h, wdt, CONV_ROWS_TARGET)
-    x_bytes = (h + 2) * (wdt + 2) * cin * es
-    w_bytes = 9 * cin * bn * es
-    o_bytes = bh * wdt * bn * es
-    acc_bytes = bh * wdt * bn * 4
-    need = 2 * (x_bytes + w_bytes + o_bytes) + acc_bytes
-    return need < int(0.85 * CONV_VMEM_LIMIT_MB) * 1024 * 1024
+    es = jnp.dtype(x.dtype).itemsize
+    return _pick_bn(cout, h=h, wdt=wdt, cin=cin, es=es) > 0
