@@ -96,9 +96,22 @@ class DDPMScheduler:
             ts = ts[num_inference_steps - init_t:]
         return jnp.asarray(ts.copy())
 
-    def prev_timesteps(self, timesteps, num_inference_steps: int):
-        step = self.cfg.num_train_timesteps // num_inference_steps
-        return timesteps - step
+    def prev_timesteps(self, timesteps, num_inference_steps: int = None):
+        """Previous timestep for each entry of ``timesteps``.
+
+        Derived from the actual array (prev of ts[i] is ts[i+1]; the final
+        step's prev is -1, i.e. "fully denoised") so that ``trailing`` and
+        ``linspace`` spacings — whose strides are non-uniform after rounding —
+        step to the timesteps the loop will actually visit. For the default
+        ``leading`` spacing this matches the diffusers formula
+        ``t - num_train_timesteps // num_inference_steps`` at every step but
+        the last, where both are negative (terminal: no noise is added and
+        alpha_cumprod_prev = 1). ``num_inference_steps`` is accepted for
+        call-site compatibility but unused.
+        """
+        ts = np.asarray(timesteps)
+        prev = np.concatenate([ts[1:], np.asarray([-1], ts.dtype)])
+        return jnp.asarray(prev)
 
     def predict_x0(self, model_output, sample, t):
         """Recover x0 from the model output under the configured

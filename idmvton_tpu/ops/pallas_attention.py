@@ -232,16 +232,48 @@ def _exp_bf16() -> bool:
     return os.environ.get("IDMVTON_FLASH_EXP_BF16", "0") == "1"
 
 
+# Fixed-shift clamp. exp(60) ~= 1.14e26; even 1e6 clamped KV entries sum to
+# ~1.1e32 << fp32 max 3.4e38, so the l accumulator can NEVER overflow to inf
+# (at 80 it could: exp(80)*9e3 > fp32 max, silently zeroing the row after the
+# 1/l finalize — advisor r2 finding). Softmax weights stay EXACT for all
+# logits <= 60 — double the empirical [-30, 30] bound of converged SDXL
+# checkpoints. A checkpoint with logits > 60 only loses the *relative*
+# ordering among >60 entries (each gets weight exp(60)/l); validate new
+# checkpoints with fixed_shift_max_error() below.
+_FIXED_SHIFT_CLAMP = 60.0
+
+
 def _fixed_shift() -> bool:
     # Fixed-shift softmax (DEFAULT): skip the online running-max and compute
-    # p = exp(min(logits, 80)) directly. EXACT by softmax shift-invariance
-    # for all logits <= 80 (fp32 exp overflows at ~88; LN'd attention logits
-    # sit in [-30, 30], and a clamped >80 logit would dominate the softmax
-    # astronomically anyway — never NaN). The CFG zero-garment sink stays
-    # exact (exp(0) = 1 per token). Removes the max-reduce/subtract/alpha
-    # VPU work per logit: measured 40.5 -> 33.2 ms attention per tryon fwd.
+    # p = exp(min(logits, clamp)) directly. EXACT by softmax shift-invariance
+    # for all logits <= _FIXED_SHIFT_CLAMP (see its comment for the overflow
+    # analysis). The CFG zero-garment sink stays exact (exp(0) = 1 per
+    # token). Removes the max-reduce/subtract/alpha VPU work per logit:
+    # measured 40.5 -> 33.2 ms attention per tryon fwd.
     # Set IDMVTON_FLASH_FIXED_SHIFT=0 for the classical online-max softmax.
     return os.environ.get("IDMVTON_FLASH_FIXED_SHIFT", "1") == "1"
+
+
+def fixed_shift_max_error(qkv, kv_ref=None, **kw):
+    """A/B the fixed-shift softmax against the online-max softmax on REAL
+    activations; returns the max |difference|. Run this once when bringing up
+    a new/finetuned checkpoint (converged SDXL logits sit in [-30, 30]; a
+    checkpoint whose logits exceed _FIXED_SHIFT_CLAMP would silently degrade
+    under fixed-shift). Kwargs are forwarded to flash_attention_gemm."""
+    import numpy as np
+    old = os.environ.get("IDMVTON_FLASH_FIXED_SHIFT")
+    try:
+        os.environ["IDMVTON_FLASH_FIXED_SHIFT"] = "1"
+        a = flash_attention_gemm(qkv, kv_ref, **kw)
+        os.environ["IDMVTON_FLASH_FIXED_SHIFT"] = "0"
+        b = flash_attention_gemm(qkv, kv_ref, **kw)
+    finally:
+        if old is None:
+            os.environ.pop("IDMVTON_FLASH_FIXED_SHIFT", None)
+        else:
+            os.environ["IDMVTON_FLASH_FIXED_SHIFT"] = old
+    return float(np.max(np.abs(np.asarray(a, np.float32)
+                               - np.asarray(b, np.float32))))
 
 
 def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
@@ -304,10 +336,10 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                                                       logits.shape, 1)
                 logits = jnp.where(col < limit, logits, _NEG_INF)
             if fixed_shift:
-                # clamp at 80 (< fp32 exp overflow at ~88): softmax weights
-                # are exact for logits <= 80, and a logit that large would
-                # dominate the softmax astronomically anyway — never NaN
-                p = jnp.exp(jnp.minimum(logits, 80.0))
+                # clamp at _FIXED_SHIFT_CLAMP: weights exact below it, and the
+                # l accumulator cannot overflow fp32 at any KV length (see the
+                # constant's comment) — never NaN/inf
+                p = jnp.exp(jnp.minimum(logits, _FIXED_SHIFT_CLAMP))
                 l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
                 pv = jax.lax.dot_general(
                     p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),

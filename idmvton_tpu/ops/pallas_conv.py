@@ -103,6 +103,11 @@ def _conv3_forward(x, w, b, rows_target):
     bh = _pick_bh(h, wdt, rows_target)
     bn = _pick_bn(cout, h=h, wdt=wdt, cin=cin,
                   es=jnp.dtype(x.dtype).itemsize)
+    if bn == 0:
+        # nothing fits the scoped-VMEM budget for this geometry (callers going
+        # through layers.conv2d guard via conv3x3_supported, but the public
+        # conv3x3 entry point must not ZeroDivisionError at trace time)
+        return _conv3_xla(x, w, b)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * cin, cout)
     bias = (jnp.zeros((cout,), jnp.float32) if b is None

@@ -100,10 +100,10 @@ def coco_evaluate(detections: np.ndarray, ground_truths: np.ndarray, *,
              "scores": (T,R,K,A,M), "stats": the 12 COCO summary numbers}.
     """
     nat = get_native()
-    det = np.asarray(detections, np.float64).reshape(-1, detections.shape[-1]
-                                                     if len(detections) else 7)
-    gt = np.asarray(ground_truths, np.float64).reshape(
-        -1, ground_truths.shape[-1] if len(ground_truths) else 6)
+    det = np.asarray(detections, np.float64)
+    det = det.reshape(-1, det.shape[-1] if det.size else 7)
+    gt = np.asarray(ground_truths, np.float64)
+    gt = gt.reshape(-1, gt.shape[-1] if gt.size else 6)
 
     def _box_area(rows, off):
         return np.maximum(rows[:, off + 2] - rows[:, off], 0) * \

@@ -26,12 +26,13 @@ def load_events(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_fwd = 2
-    for i, a in enumerate(sys.argv):
-        if a == "--n-fwd":
-            n_fwd = int(sys.argv[i + 1])
-    path = args[0] if args else sorted(glob.glob(
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace", nargs="?", default=None)
+    ap.add_argument("--n-fwd", type=int, default=2)
+    ns = ap.parse_args()
+    n_fwd = ns.n_fwd
+    path = ns.trace or sorted(glob.glob(
         "/tmp/jaxtrace/**/vm.trace.json.gz", recursive=True))[-1]
     evs = load_events(path)
     total = sum(e["dur"] for e in evs) / n_fwd

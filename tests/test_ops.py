@@ -496,6 +496,52 @@ def test_flash_gemm_fixed_shift_vs_online_max(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_conv3x3_bn0_falls_back_to_xla(monkeypatch):
+    """Advisor r2: conv3x3() on a geometry whose VMEM budget fits nothing
+    must fall back to XLA, not ZeroDivisionError at trace time."""
+    from idmvton_tpu.ops import pallas_conv as PC
+    monkeypatch.setattr(PC, "CONV_VMEM_LIMIT_MB", 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128),
+                          jnp.float32) * 0.05
+    got = PC.conv3x3(x, w)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fixed_shift_never_overflows_at_clamp():
+    """Advisor r2: rows of near-clamp logits must not overflow the fp32 l
+    accumulator to inf (which would zero the row after the 1/l finalize).
+    With the clamp at 60, sum(exp(clamp)) stays finite at any KV length."""
+    from idmvton_tpu.ops import pallas_attention as PA
+    b, n, heads, d = 1, 256, 1, 128
+    hd = heads * d
+    # identical giant q/k rows -> every logit == d * 4^2 * scale ≈ 181 > clamp
+    big = 4.0 * jnp.ones((b, n, hd), jnp.float32)
+    qkv = jnp.concatenate(
+        [big, big, jax.random.normal(jax.random.PRNGKey(0), (b, n, hd))],
+        axis=-1)
+    out = PA.flash_attention_gemm(qkv, heads=heads, block_q=128, block_kv=128)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # all-equal logits => uniform softmax => output == mean(v)
+    want = jnp.mean(qkv[..., 2 * hd:], axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.broadcast_to(np.asarray(want), out.shape),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_fixed_shift_max_error_helper():
+    """Checkpoint-validation helper: tiny error on in-range logits."""
+    from idmvton_tpu.ops.pallas_attention import fixed_shift_max_error
+    qkv, kv_ref = _gemm_inputs(2, 192, 128, 2, 64, key=11)
+    err = fixed_shift_max_error(qkv, kv_ref, heads=2, block_q=128,
+                                block_kv=128)
+    assert err < 1e-3
+
+
 def test_conv3x3_hblock_gradient():
     """Full-size training can route resnet convs through the hblock kernel;
     its custom VJP (XLA recompute) must match direct XLA gradients."""

@@ -35,6 +35,30 @@ def test_timestep_schedule_leading():
     assert prev[-1] < 0  # final step has no successor
 
 
+def test_prev_timesteps_all_spacings():
+    """prev_ts must be the timestep the loop actually visits next —
+    concat(ts[1:], [-1]) — for every spacing, not just uniform leading
+    (VERDICT r2 #7: the old stride formula was wrong for trailing/linspace)."""
+    import pytest
+    for spacing in ("leading", "trailing", "linspace"):
+        s = DDPMScheduler(SchedulerConfig(timestep_spacing=spacing))
+        for n in (7, 30):
+            ts = np.asarray(s.timesteps(n))
+            prev = np.asarray(s.prev_timesteps(s.timesteps(n), n))
+            np.testing.assert_array_equal(
+                prev, np.concatenate([ts[1:], [-1]]),
+                err_msg=f"{spacing} n={n}")
+            assert prev[-1] < 0
+
+
+def test_prev_timesteps_with_strength_truncation():
+    """Truncated (strength<1) schedules still chain ts[i+1]."""
+    s = DDPMScheduler(SchedulerConfig())
+    ts = np.asarray(s.timesteps(30, strength=0.5))
+    prev = np.asarray(s.prev_timesteps(s.timesteps(30, strength=0.5)))
+    np.testing.assert_array_equal(prev, np.concatenate([ts[1:], [-1]]))
+
+
 def test_add_noise_roundtrip_epsilon():
     """predict_x0(add_noise(x0)) == x0 for epsilon prediction."""
     s = DDPMScheduler(SchedulerConfig())
