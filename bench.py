@@ -11,8 +11,11 @@ SDXL-inpainting with a second full UNet forward per step at fp16/batch 2 runs
 ~4 s/image (~0.25 img/s) — used as the denominator.
 
 The whole stack is ~6.7B params = 13.5 GB bf16 vs 16 GB v5e HBM, so the bench
-runs phase-at-a-time: init each encoder tower, run its stage, free it —
-text -> vision/resampler -> VAE encodes -> dual-UNet denoise -> VAE decode.
+runs phase-at-a-time: init each tower, run its stage, free it. The dominant
+dual-UNet denoise phase runs FIRST (on synthetic cond tensors of the exact
+encoder-output shapes — throughput is input-value-agnostic), then VAE
+decode/encode, then the text and vision towers; a wall-clock watchdog emits
+the result from measured phases if the budget nears (see BUDGET_S).
 The denoise STEP is jitted and python-looped (compiling the full 30-step scan
 through the remote-compile tunnel takes tens of minutes vs ~2 min for the
 step; dispatch overhead is negligible at ~0.5 s/step).
@@ -21,7 +24,9 @@ step; dispatch overhead is negligible at ~0.5 s/step).
 import functools
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import jax
@@ -47,9 +52,92 @@ IMPL = os.environ.get("BENCH_IMPL")  # None -> auto (pallas on tpu)
 # computed at the mid-schedule timestep and reused)
 GARMENT_CACHE = os.environ.get("BENCH_GARMENT_CACHE", "every_step")
 
+# Wall-clock watchdog (round-2 postmortem: the driver's run died rc=124 with
+# zero output after a server-side compile-queue stall — silent timeouts lose
+# the whole round's measurement). On expiry the watchdog emits the JSON line
+# from the phases measured so far, with documented CONSERVATIVE upper-bound
+# estimates for any missing minor phase (so the reported img/s only ever
+# understates reality), then hard-exits. The denoise phase is never
+# estimated: without it there is no honest number, so expiry before it logs
+# a diagnosis and exits 3.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+# upper bounds ~3x the measured r2 values (encode 0.34 s, decode 0.20 s)
+ENCODE_EST_UB = 1.5
+DECODE_EST_UB = 0.8
+
+T_START = time.time()
+STATE = {
+    "encode_parts": {},   # phase name -> measured seconds
+    "encode_all": False,  # all three encode phases measured
+    "denoise": None,      # best measured denoise seconds
+    "decode": None,
+    "batch": None,
+    "metric": None,
+    "phase": "startup",
+    "emitted": False,
+}
+_EMIT_LOCK = threading.Lock()
+
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - T_START:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(partial: bool) -> bool:
+    """Print the ONE JSON result line. Returns True if emitted."""
+    with _EMIT_LOCK:
+        if STATE["emitted"]:
+            return True
+        if STATE["denoise"] is None:
+            return False
+        est = []
+        enc = sum(STATE["encode_parts"].values())
+        if not STATE["encode_all"]:
+            missing = {"text", "vision", "vae"} - set(STATE["encode_parts"])
+            enc += ENCODE_EST_UB * len(missing) / 3.0
+            est.append(f"encode~{sorted(missing)}")
+        dec = STATE["decode"]
+        if dec is None:
+            dec = DECODE_EST_UB
+            est.append("decode")
+        total = enc + STATE["denoise"] + dec
+        img_per_sec = STATE["batch"] / total
+        result = {
+            "metric": STATE["metric"],
+            "value": round(img_per_sec, 4),
+            "unit": "img/s",
+            "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        }
+        print(json.dumps(result), flush=True)
+        STATE["emitted"] = True
+        log(f"# encode {enc:.2f}s denoise {STATE['denoise']:.2f}s "
+            f"decode {dec:.2f}s; sec/img {total / STATE['batch']:.2f}; "
+            f"backend {jax.default_backend()}"
+            + (f"; PARTIAL (upper-bound estimates for: {est})" if est else ""))
+        return True
+
+
+def _watchdog():
+    wake = T_START + BUDGET_S
+    while time.time() < wake and not STATE["emitted"]:
+        time.sleep(min(5.0, max(0.1, wake - time.time())))
+    if STATE["emitted"]:
+        return
+    log(f"WATCHDOG: budget {BUDGET_S:.0f}s expired during phase "
+        f"'{STATE['phase']}' — emitting partial result")
+    if _emit(partial=True):
+        os._exit(0)
+    log("WATCHDOG: denoise not yet measured — no honest partial number. "
+        "Likely cause: server-side compile-queue backlog (compiles queue "
+        "even after killed clients; see CLAUDE.md).")
+    os._exit(3)
+
+
+def _on_term(signum, frame):
+    log(f"signal {signum} during phase '{STATE['phase']}'")
+    if _emit(partial=True):
+        os._exit(0)
+    os._exit(3)
 
 
 def free(tree):
@@ -99,6 +187,24 @@ def main():
     lat_h, lat_w = img_h // vae_cfg.downscale, img_w // vae_cfg.downscale
     sched = DDPMScheduler(SchedulerConfig.sdxl_inference())
 
+    STATE["batch"] = b
+    STATE["metric"] = (f"tryon_images_per_sec_per_chip_{img_w}x{img_h}_"
+                       f"{STEPS}steps_cfg2_b{b}"
+                       + ("_garmcache" if GARMENT_CACHE == "once" else ""))
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # pre-flight: one trivial compile — its latency is a direct read on the
+    # server-side compile queue (a clear queue answers in seconds; the r2
+    # driver run stalled >20 min on the first real compile)
+    STATE["phase"] = "preflight"
+    t0 = time.time()
+    float(jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.float32))[0])
+    pf = time.time() - t0
+    log(f"preflight compile {pf:.1f}s" +
+        ("  ** QUEUE BACKLOG SUSPECTED **" if pf > 60 else ""))
+
     def finit(fn, seed):
         t0 = time.time()
         p = fast_random_params(jax.random.PRNGKey(seed), fn)
@@ -116,90 +222,34 @@ def main():
     ids = lambda k: jax.random.randint(ks[k], (3 * b, seq), 0, vocab)
     ip_pixels = jax.random.uniform(ks[7], (b, isz, isz, 3), dtype, -1, 1)
 
-    t_encode = 0.0
-
-    # ---- phase 1: text towers (prompt / negative / cloth batched to 3B)
-    log("phase text")
-    p_l = finit(lambda k: init_clip_text(k, clip_l_cfg, dtype=dtype), 10)
-    p_g = finit(lambda k: init_clip_text(k, clip_g_cfg, dtype=dtype), 11)
-
-    @jax.jit
-    def text_fn(pl, pg, ids_l, ids_g):
-        out_l = clip_text_apply(pl, clip_l_cfg, ids_l)
-        out_g = clip_text_apply(pg, clip_g_cfg, ids_g)
-        return (jnp.concatenate([out_l["penultimate"], out_g["penultimate"]],
-                                axis=-1), out_g["pooled"])
-
-    ids_l, ids_g = ids(4), ids(4)
-    sync(text_fn(p_l, p_g, ids_l, ids_g))  # compile
-    t0 = time.time()
-    embeds, pooled = text_fn(p_l, p_g, ids_l, ids_g)
-    sync(embeds)
-    t_encode += time.time() - t0
-    prompt_embeds, neg_embeds, cloth_embeds = jnp.split(embeds, 3)
-    pooled_p, pooled_n, _ = jnp.split(pooled, 3)
-    if not TINY:
-        free((p_l, p_g))
-    log(f"  text {t_encode:.2f}s")
-
-    # ---- phase 2: vision + resampler (uncond zeros + cond batched to 2B)
-    log("phase vision")
-    p_v = finit(lambda k: init_clip_vision(k, vision_cfg, dtype=dtype), 12)
-    p_r = finit(lambda k: init_resampler(k, rs_cfg, dtype=dtype), 13)
-
-    @jax.jit
-    def vis_fn(pv, pr, px):
-        vis = clip_vision_apply(pv, vision_cfg, px)
-        return resampler_apply(pr, rs_cfg, vis["penultimate"])
-
-    px2 = jnp.concatenate([jnp.zeros_like(ip_pixels), ip_pixels], axis=0)
-    sync(vis_fn(p_v, p_r, px2))
-    t0 = time.time()
-    ip_tokens = vis_fn(p_v, p_r, px2)
-    sync(ip_tokens)
-    t_encode += time.time() - t0
-    ip_uncond, ip_cond = jnp.split(ip_tokens, 2)
-    if not TINY:
-        free((p_v, p_r))
-    log(f"  vision done (cum encode {t_encode:.2f}s)")
-
-    # ---- phase 3: VAE encodes (masked person / pose / cloth batched to 3B)
-    log("phase vae")
-    p_vae = finit(lambda k: init_vae(k, vae_cfg, dtype=dtype), 14)
-
-    @jax.jit
-    def vae_fn(p, imgs, rng):
-        return vae_encode(p, vae_cfg, imgs, rng=rng)
-
-    masked_person = person * (mask < 0.5).astype(dtype)
-    imgs3 = jnp.concatenate([masked_person, pose, cloth], axis=0)
-    sync(vae_fn(p_vae, imgs3, ks[8]))
-    t0 = time.time()
-    # fresh rng so the timed call can't be deduped against the warmup
-    lats = vae_fn(p_vae, imgs3, jax.random.PRNGKey(99))
-    sync(lats)
-    t_encode += time.time() - t0
-    masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
-    mask_lat = jax.image.resize(mask, (b, lat_h, lat_w, 1), "nearest")
-    log(f"  vae done (cum encode {t_encode:.2f}s)")
-
+    # ---- phase 1: dual-UNet denoise — FIRST. It is ~93% of the metric; a
+    # degraded server-side compile queue must not be able to starve the
+    # headline phase (round-2 postmortem: driver bench died in an encoder
+    # phase before any number existed). The cond tensors are synthetic with
+    # the exact shapes/dtypes the encoder phases produce — throughput is
+    # input-value-agnostic.
+    STATE["phase"] = "unets"
+    log("phase unets")
+    ctx_dim = clip_l_cfg.hidden_size + clip_g_cfg.hidden_size
+    n_ip = rs_cfg.num_queries
+    rk = jax.random.split(jax.random.PRNGKey(2), 8)
+    rnd = lambda i, shape: jax.random.normal(rk[i], shape,
+                                             jnp.float32).astype(dtype)
+    lc = vae_cfg.latent_channels
     cond = {
-        "context": jnp.concatenate([
-            jnp.concatenate([neg_embeds, ip_uncond], axis=1),
-            jnp.concatenate([prompt_embeds, ip_cond], axis=1)], axis=0),
-        "add_text_embeds": jnp.concatenate([pooled_n, pooled_p], axis=0),
+        "context": rnd(0, (2 * b, seq + n_ip, ctx_dim)),
+        "add_text_embeds": rnd(1, (2 * b, clip_g_cfg.projection_dim)),
         "time_ids": jnp.tile(jnp.asarray(
             [img_h, img_w, 0, 0, img_h, img_w], dtype)[None], (2 * b, 1)),
-        "mask_2b": jnp.concatenate([mask_lat] * 2, axis=0),
-        "masked_2b": jnp.concatenate([masked_lat] * 2, axis=0),
-        "pose_2b": jnp.concatenate([pose_lat] * 2, axis=0),
-        "cloth_lat": cloth_lat,
-        "cloth_embeds": cloth_embeds,
+        "mask_2b": (jax.random.uniform(rk[2], (2 * b, lat_h, lat_w, 1))
+                    > 0.5).astype(dtype),
+        "masked_2b": rnd(3, (2 * b, lat_h, lat_w, lc)),
+        "pose_2b": rnd(4, (2 * b, lat_h, lat_w, lc)),
+        "cloth_lat": rnd(5, (b, lat_h, lat_w, lc)),
+        "cloth_embeds": rnd(6, (b, seq, ctx_dim)),
     }
     sync(cond)
 
-    # ---- phase 4: dual-UNet denoise
-    log("phase unets")
     p_unet = finit(lambda k: init_unet(k, unet_cfg, dtype=dtype), 15)
     p_garm = finit(lambda k: init_unet(k, garm_cfg, dtype=dtype), 16)
 
@@ -247,7 +297,7 @@ def main():
 
     def denoise(rng):
         r_init, r_steps = jax.random.split(rng)
-        lat = jax.random.normal(r_init, (b, lat_h, lat_w, vae_cfg.latent_channels),
+        lat = jax.random.normal(r_init, (b, lat_h, lat_w, lc),
                                 jnp.float32).astype(dtype)
         step_rngs = jax.random.split(r_steps, STEPS)
         for i in range(STEPS):
@@ -266,12 +316,16 @@ def main():
         t0 = time.time()
         lat = denoise(jax.random.PRNGKey(21 + i))
         denoise_times.append(time.time() - t0)
+        STATE["denoise"] = min(denoise_times)
     log(f"  denoise times {['%.2f' % t for t in denoise_times]}")
 
-    # ---- phase 5: decode (UNets freed first: fp32 decode activations at
-    # 768x1024 don't fit next to 10.3 GB of UNet weights)
+    # ---- phase 2: VAE decode (UNets freed first: fp32 decode activations
+    # at 768x1024 don't fit next to 10.3 GB of UNet weights)
+    STATE["phase"] = "decode"
+    log("phase decode")
     if not TINY:
         free((p_unet, p_garm))
+    p_vae = finit(lambda k: init_vae(k, vae_cfg, dtype=dtype), 14)
 
     @jax.jit
     def decode_fn(p, lat):
@@ -281,23 +335,77 @@ def main():
     t0 = time.time()
     img = decode_fn(p_vae, lat)
     sync(img)
-    t_decode = time.time() - t0
-    log(f"  decode {t_decode:.2f}s; output {img.shape}")
+    STATE["decode"] = time.time() - t0
+    log(f"  decode {STATE['decode']:.2f}s; output {img.shape}")
 
-    total = t_encode + min(denoise_times) + t_decode
-    img_per_sec = b / total
-    result = {
-        "metric": (f"tryon_images_per_sec_per_chip_{img_w}x{img_h}_"
-                   f"{STEPS}steps_cfg2_b{b}"
-                   + ("_garmcache" if GARMENT_CACHE == "once" else "")),
-        "value": round(img_per_sec, 4),
-        "unit": "img/s",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
-    }
-    print(json.dumps(result))
-    log(f"# encode {t_encode:.2f}s denoise {min(denoise_times):.2f}s "
-        f"decode {t_decode:.2f}s; sec/img {total / b:.2f}; "
-        f"backend {jax.default_backend()}")
+    # ---- phase 3: VAE encodes (masked person / pose / cloth batched to 3B;
+    # VAE params still resident from the decode phase)
+    STATE["phase"] = "vae"
+    log("phase vae encode")
+
+    @jax.jit
+    def vae_fn(p, imgs, rng):
+        return vae_encode(p, vae_cfg, imgs, rng=rng)
+
+    masked_person = person * (mask < 0.5).astype(dtype)
+    imgs3 = jnp.concatenate([masked_person, pose, cloth], axis=0)
+    sync(vae_fn(p_vae, imgs3, ks[8]))
+    t0 = time.time()
+    # fresh rng so the timed call can't be deduped against the warmup
+    lats = vae_fn(p_vae, imgs3, jax.random.PRNGKey(99))
+    sync(lats)
+    STATE["encode_parts"]["vae"] = time.time() - t0
+    log(f"  vae encode {STATE['encode_parts']['vae']:.2f}s")
+    if not TINY:
+        free(p_vae)
+
+    # ---- phase 4: text towers (prompt / negative / cloth batched to 3B)
+    STATE["phase"] = "text"
+    log("phase text")
+    p_l = finit(lambda k: init_clip_text(k, clip_l_cfg, dtype=dtype), 10)
+    p_g = finit(lambda k: init_clip_text(k, clip_g_cfg, dtype=dtype), 11)
+
+    @jax.jit
+    def text_fn(pl, pg, ids_l, ids_g):
+        out_l = clip_text_apply(pl, clip_l_cfg, ids_l)
+        out_g = clip_text_apply(pg, clip_g_cfg, ids_g)
+        return (jnp.concatenate([out_l["penultimate"], out_g["penultimate"]],
+                                axis=-1), out_g["pooled"])
+
+    ids_l, ids_g = ids(4), ids(4)
+    sync(text_fn(p_l, p_g, ids_l, ids_g))  # compile
+    t0 = time.time()
+    embeds, pooled = text_fn(p_l, p_g, ids_l, ids_g)
+    sync(embeds)
+    STATE["encode_parts"]["text"] = time.time() - t0
+    log(f"  text {STATE['encode_parts']['text']:.2f}s")
+    if not TINY:
+        free((p_l, p_g))
+
+    # ---- phase 5: vision + resampler (uncond zeros + cond batched to 2B)
+    STATE["phase"] = "vision"
+    log("phase vision")
+    p_v = finit(lambda k: init_clip_vision(k, vision_cfg, dtype=dtype), 12)
+    p_r = finit(lambda k: init_resampler(k, rs_cfg, dtype=dtype), 13)
+
+    @jax.jit
+    def vis_fn(pv, pr, px):
+        vis = clip_vision_apply(pv, vision_cfg, px)
+        return resampler_apply(pr, rs_cfg, vis["penultimate"])
+
+    px2 = jnp.concatenate([jnp.zeros_like(ip_pixels), ip_pixels], axis=0)
+    sync(vis_fn(p_v, p_r, px2))
+    t0 = time.time()
+    ip_tokens = vis_fn(p_v, p_r, px2)
+    sync(ip_tokens)
+    STATE["encode_parts"]["vision"] = time.time() - t0
+    log(f"  vision {STATE['encode_parts']['vision']:.2f}s")
+    if not TINY:
+        free((p_v, p_r))
+
+    STATE["encode_all"] = True
+    STATE["phase"] = "done"
+    _emit(partial=False)
 
 
 if __name__ == "__main__":
