@@ -96,8 +96,12 @@ def openpose_apply(params, x):
         inp = jnp.concatenate([paf, heat, feat], axis=-1)
         paf = _run_block(params[f"model{n}_1"], layers[f"model{n}_1"], inp,
                          final_no_relu=True)
+        # reference quirk (model.py:29-32): the no_relu_layers list names
+        # Mconv7_stage6_L1 TWICE, omitting Mconv7_stage6_L2 — so the final
+        # stage's heatmap output IS relu'd. The shipped weights were trained
+        # against that graph; replicate it.
         heat = _run_block(params[f"model{n}_2"], layers[f"model{n}_2"], inp,
-                          final_no_relu=True)
+                          final_no_relu=(n != 6))
     return paf, heat
 
 

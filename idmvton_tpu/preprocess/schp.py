@@ -366,45 +366,58 @@ class Parsing:
         return _unletterbox_logits(fusion, meta)
 
     def __call__(self, image_rgb: np.ndarray):
-        import cv2
         from PIL import Image
-        from idmvton_tpu.preprocess.agnostic_mask import _fill_holes
 
         atr_logits = self._logits(self.atr, image_rgb, 512)
-        parsing = np.argmax(atr_logits, axis=2)
-        parsing = np.pad(parsing, 1, mode="constant")
+        parsing = refine_cloth(np.argmax(atr_logits, axis=2))
 
-        # hole-fill the upper cloth + arms union (parsing_api.py:146-160)
-        arm = ((parsing == 14) | (parsing == 15)).astype(np.float32)
-        cloth_union = (parsing == 4).astype(np.float32) + arm
-        filled = _fill_holes(np.where(cloth_union, 255, 0).astype(np.uint8))
-        filled4 = filled.astype(np.float32) / 255 * 4
-        woarm = np.where(filled4 == 4, filled4, parsing)
-
-        # refined holes between arm and cloth (> 2000 px) keep their label
-        hole = cv2.bitwise_and(
-            np.where(filled4 == 4, 255, 0).astype(np.uint8),
-            np.where(parsing != 4, 255, 0).astype(np.uint8)) - \
-            (arm * 255).astype(np.uint8)
-        contours, _ = cv2.findContours(hole, cv2.RETR_CCOMP,
-                                       cv2.CHAIN_APPROX_TC89_L1)
-        refine = np.zeros_like(parsing, np.uint8)
-        for c in contours:
-            if abs(cv2.contourArea(c, True)) > 2000:
-                cv2.drawContours(refine, [c], -1, 255, -1)
-        refine = refine + (arm * 255).astype(np.uint8)
-        parsing = np.where(refine, parsing, woarm)[1:-1, 1:-1]
-
-        # neck = ATR head(11) minus LIP face(13) (parsing_api.py:177-179)
         lip_logits = self._logits(self.lip, image_rgb, 473)
         lip_parsing = np.argmax(lip_logits, axis=2)
-        neck = np.logical_and(np.logical_not(lip_parsing == 13), parsing == 11)
-        parsing = np.where(neck, 18, parsing)
+        parsing = add_neck(parsing, lip_parsing)
 
         out = Image.fromarray(parsing.astype(np.uint8))
         out.putpalette(get_palette(19))
         face_mask = (parsing == 11).astype(np.float32)
         return out, face_mask
+
+
+def refine_cloth(parsing: np.ndarray) -> np.ndarray:
+    """ATR postprocess: hole-fill the upper-cloth+arms union, keep >2000 px
+    holes between arm and cloth (parsing_api.py:142-156 semantics).
+    parsing: (H, W) int argmax of the ATR logits; returns same shape."""
+    import cv2
+    from idmvton_tpu.preprocess.agnostic_mask import _fill_holes
+
+    parsing = np.pad(parsing, 1, mode="constant")
+
+    # hole-fill the upper cloth + arms union (parsing_api.py:144-150)
+    arm = ((parsing == 14) | (parsing == 15)).astype(np.float32)
+    cloth_union = (parsing == 4).astype(np.float32) + arm
+    filled = _fill_holes(np.where(cloth_union, 255, 0).astype(np.uint8))
+    filled4 = filled.astype(np.float32) / 255 * 4
+    woarm = np.where(filled4 == 4, filled4, parsing)
+
+    # refined holes between arm and cloth (> 2000 px) keep their label
+    # (parsing_api.py:109-119 refine_hole, applied at :152-154)
+    hole = cv2.bitwise_and(
+        np.where(filled4 == 4, 255, 0).astype(np.uint8),
+        np.where(parsing != 4, 255, 0).astype(np.uint8)) - \
+        (arm * 255).astype(np.uint8)
+    contours, _ = cv2.findContours(hole, cv2.RETR_CCOMP,
+                                   cv2.CHAIN_APPROX_TC89_L1)
+    refine = np.zeros_like(parsing, np.uint8)
+    for c in contours:
+        if abs(cv2.contourArea(c, True)) > 2000:
+            cv2.drawContours(refine, [c], -1, 255, -1)
+    refine = refine + (arm * 255).astype(np.uint8)
+    return np.where(refine, parsing, woarm)[1:-1, 1:-1]
+
+
+def add_neck(parsing: np.ndarray, lip_parsing: np.ndarray) -> np.ndarray:
+    """neck = ATR head(11) minus LIP face(13) -> label 18
+    (parsing_api.py:176-179)."""
+    neck = np.logical_and(np.logical_not(lip_parsing == 13), parsing == 11)
+    return np.where(neck, 18, parsing)
 
 
 def get_palette(num_cls: int) -> List[int]:
