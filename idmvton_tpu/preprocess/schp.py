@@ -79,10 +79,35 @@ def adaptive_avg_pool(x, size: int):
     return out
 
 
+def _ac_axis(out_n: int, in_n: int, dtype):
+    """Source sample positions for align_corners=True bilinear: pos =
+    i*(in-1)/(out-1) (torch F.interpolate semantics — NOT the half-pixel
+    convention jax.image.resize implements)."""
+    if out_n == 1 or in_n == 1:
+        lo = jnp.zeros((out_n,), jnp.int32)
+        return lo, lo, jnp.zeros((out_n,), dtype)
+    pos = jnp.arange(out_n, dtype=dtype) * ((in_n - 1) / (out_n - 1))
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_n - 2)
+    return lo, lo + 1, pos - lo.astype(dtype)
+
+
 def _resize_bilinear(x, hw):
-    # align_corners=True to match torch F.interpolate in the reference
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]),
-                            jax.image.ResizeMethod.LINEAR)
+    """align_corners=True bilinear (reference: F.interpolate(...,
+    mode='bilinear', align_corners=True) throughout AugmentCE2P.py and the
+    upsample at parsing_api.py:137,170)."""
+    b, h, w, c = x.shape
+    oh, ow = hw
+    if (oh, ow) == (h, w):
+        return x
+    dt = jnp.float32
+    y0, y1, fy = _ac_axis(oh, h, dt)
+    x0, x1, fx = _ac_axis(ow, w, dt)
+    xf = x.astype(dt)
+    rows = (xf[:, y0] * (1.0 - fy)[None, :, None, None]
+            + xf[:, y1] * fy[None, :, None, None])
+    out = (rows[:, :, x0] * (1.0 - fx)[None, None, :, None]
+           + rows[:, :, x1] * fx[None, None, :, None])
+    return out.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +276,9 @@ def convert_schp(sd: Dict[str, np.ndarray], num_classes: int = ATR_CLASSES,
     def conv(key, bias=False):
         p = {"kernel": jnp.asarray(np.transpose(_g(key + ".weight"),
                                                 (2, 3, 1, 0)), dtype)}
-        if bias and key + ".bias" in sd:
+        # bias whenever present: BN-folded ONNX exports add biases to convs
+        # that are bias-free in the .pth layout
+        if key + ".bias" in sd:
             p["bias"] = jnp.asarray(_g(key + ".bias"), dtype)
         return p
 
@@ -308,6 +335,148 @@ def convert_schp(sd: Dict[str, np.ndarray], num_classes: int = ATR_CLASSES,
 
 
 # ---------------------------------------------------------------------------
+# ONNX ingestion — the reference ships the parsing models ONLY as ONNX
+# (run_parsing.py:20-22: ckpt/humanparsing/parsing_atr.onnx / parsing_lip.onnx)
+# ---------------------------------------------------------------------------
+
+
+def _trace_order(num_classes: int):
+    """(kind, torch-key) sequence in AugmentCE2P.forward trace order
+    (networks/AugmentCE2P.py:348-364; submodule forwards :162,:240,:286).
+    This is the order Conv/BatchNormalization nodes appear in an ONNX export,
+    used to bind anonymous initializers positionally."""
+    del num_classes
+    seq = []
+    for i in (1, 2, 3):
+        seq += [("conv", f"conv{i}"), ("bn", f"bn{i}")]
+    for li in range(4):
+        for bi in range(_LAYERS[li]):
+            pre = f"layer{li + 1}.{bi}"
+            for j in (1, 2, 3):
+                seq += [("conv", f"{pre}.conv{j}"), ("bn", f"{pre}.bn{j}")]
+            if bi == 0:  # first block of each layer has the projection
+                seq += [("conv", f"{pre}.downsample.0"),
+                        ("bn", f"{pre}.downsample.1")]
+    for i in range(len(_PSP_SIZES)):
+        seq += [("conv", f"context_encoding.stages.{i}.1"),
+                ("bn", f"context_encoding.stages.{i}.2")]
+    seq += [("conv", "context_encoding.bottleneck.0"),
+            ("bn", "context_encoding.bottleneck.1")]
+    # decoder before edge (AugmentCE2P.py:358-360)
+    seq += [("conv", "decoder.conv1.0"), ("bn", "decoder.conv1.1"),
+            ("conv", "decoder.conv2.0"), ("bn", "decoder.conv2.1"),
+            ("conv", "decoder.conv3.0"), ("bn", "decoder.conv3.1"),
+            ("conv", "decoder.conv3.2"), ("bn", "decoder.conv3.3"),
+            ("conv", "decoder.conv4")]
+    # edge trace: conv1,conv4, conv2,conv4(shared), conv3,conv4(shared), conv5
+    seq += [("conv", "edge.conv1.0"), ("bn", "edge.conv1.1"),
+            ("conv", "edge.conv4"),
+            ("conv", "edge.conv2.0"), ("bn", "edge.conv2.1"),
+            ("conv", "edge.conv3.0"), ("bn", "edge.conv3.1"),
+            ("conv", "edge.conv5")]
+    seq += [("conv", "fushion.0"), ("bn", "fushion.1"), ("conv", "fushion.3")]
+    return seq
+
+
+def _positional_state_dict(model, num_classes: int) -> Dict[str, np.ndarray]:
+    """Bind anonymous ONNX initializers to torch keys by walking
+    Conv/BatchNormalization nodes in graph (trace) order. Shared weights
+    (edge.conv4 is applied three times, AugmentCE2P.py:245-250) bind on
+    first occurrence only. BN-folded exports (no BatchNormalization nodes)
+    simply skip past the bn slots."""
+    inits = model.initializers
+    order = _trace_order(num_classes)
+    pos = 0
+    sd: Dict[str, np.ndarray] = {}
+    bound = set()
+
+    def advance_to(kind):
+        nonlocal pos
+        # a Conv node may legitimately skip bn slots (folded exports); a
+        # BatchNormalization node must never skip a conv slot
+        while pos < len(order) and order[pos][0] != kind:
+            if order[pos][0] == "conv":
+                raise ValueError(f"trace mismatch: expected conv "
+                                 f"'{order[pos][1]}' before next {kind}")
+            pos += 1
+        if pos >= len(order):
+            raise ValueError(f"more {kind} nodes than trace slots")
+        pos += 1
+        return order[pos - 1][1]
+
+    for node in model.nodes:
+        if node.op_type == "Conv":
+            w = node.inputs[1]
+            if w not in inits or w in bound:
+                continue  # dynamic weight, or a shared module re-applied
+            bound.add(w)
+            key = advance_to("conv")
+            sd[key + ".weight"] = inits[w]
+            if len(node.inputs) > 2 and node.inputs[2] in inits:
+                sd[key + ".bias"] = inits[node.inputs[2]]
+        elif node.op_type == "BatchNormalization":
+            names = node.inputs[1:5]  # scale, B, mean, var
+            if names[0] in bound:
+                continue
+            bound.add(names[0])
+            key = advance_to("bn")
+            for suffix, n in zip(
+                    (".weight", ".bias", ".running_mean", ".running_var"),
+                    names):
+                sd[key + suffix] = inits[n]
+    unbound_convs = [k for kind, k in order[pos:] if kind == "conv"]
+    if unbound_convs:
+        raise ValueError(f"unbound conv slots after node walk: "
+                         f"{unbound_convs}")
+    return sd
+
+
+def _synthesize_identity_bn(sd: Dict[str, np.ndarray],
+                            num_classes: int) -> Dict[str, np.ndarray]:
+    """For BN-folded exports: every bn slot missing from sd becomes the
+    identity under _bn's eps=1e-5 (scale=sqrt(1+eps), zero mean/bias).
+    Channel count comes from the conv traced immediately before the bn."""
+    out = dict(sd)
+    order = _trace_order(num_classes)
+    for i, (kind, key) in enumerate(order):
+        if kind != "bn" or key + ".weight" in out:
+            continue
+        prev_kind, prev_key = order[i - 1]
+        assert prev_kind == "conv", (key, prev_key)
+        ch = out[prev_key + ".weight"].shape[0]
+        out[key + ".weight"] = np.full((ch,), np.sqrt(1.0 + 1e-5), np.float32)
+        out[key + ".bias"] = np.zeros((ch,), np.float32)
+        out[key + ".running_mean"] = np.zeros((ch,), np.float32)
+        out[key + ".running_var"] = np.ones((ch,), np.float32)
+    return out
+
+
+def convert_schp_onnx(path, num_classes: int = ATR_CLASSES,
+                      dtype=jnp.float32, *, strict: bool = False) -> dict:
+    """Load an SCHP ONNX artifact (the format the reference actually ships,
+    run_parsing.py:20-22) into the JAX param tree.
+
+    Handles three export shapes:
+    1. name-preserving exports (initializers named like torch params),
+    2. name-preserving with BN folded into convs (identity BN synthesized),
+    3. anonymous initializers (bound positionally by node-trace walk).
+    """
+    from idmvton_tpu.weights.onnx_reader import read_onnx
+
+    model = read_onnx(path)
+    sd = {k[7:] if k.startswith("module.") else k: v
+          for k, v in model.initializers.items()}
+    if "conv1.weight" not in sd:
+        sd = _positional_state_dict(model, num_classes)
+    if "bn1.weight" not in sd:  # BN folded into convs
+        sd = _synthesize_identity_bn(sd, num_classes)
+    # graph-machinery constants (Shape/Resize params etc.) are expected
+    # leftovers in an ONNX graph, so strict consumption can't apply to the
+    # raw initializer set — convert from the rebuilt torch-keyed dict
+    return convert_schp(sd, num_classes, dtype, strict=strict)
+
+
+# ---------------------------------------------------------------------------
 # runtime wrapper: ATR + LIP fusion and cv2 postprocess
 # ---------------------------------------------------------------------------
 
@@ -355,14 +524,21 @@ class Parsing:
         return Parsing(convert_schp(load_state_dict(atr_path), ATR_CLASSES),
                        convert_schp(load_state_dict(lip_path), LIP_CLASSES))
 
+    @staticmethod
+    def from_onnx(atr_path: str, lip_path: str) -> "Parsing":
+        """Load the artifact format the reference actually ships
+        (run_parsing.py:20-22: parsing_atr.onnx / parsing_lip.onnx)."""
+        return Parsing(convert_schp_onnx(atr_path, ATR_CLASSES),
+                       convert_schp_onnx(lip_path, LIP_CLASSES))
+
     def _logits(self, params, image_rgb: np.ndarray, size: int) -> np.ndarray:
         inp, meta = _letterbox(image_rgb, size)
         bgr = inp[:, :, ::-1].astype(np.float32) / 255.0
         x = (bgr - _MEAN_BGR) / _STD_BGR
         _, fusion, _ = self._apply(params, jnp.asarray(x[None]))
-        fusion = np.asarray(jax.image.resize(
-            fusion[0], (size, size, fusion.shape[-1]),
-            jax.image.ResizeMethod.LINEAR))
+        # Upsample(size, mode='bilinear', align_corners=True),
+        # parsing_api.py:136-139
+        fusion = np.asarray(_resize_bilinear(fusion, (size, size))[0])
         return _unletterbox_logits(fusion, meta)
 
     def __call__(self, image_rgb: np.ndarray):
