@@ -36,15 +36,22 @@ from idmvton_tpu.preprocess.densepose.backbone import (
 class DensePoseConfig:
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)  # per level P2-P6
     aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # serving capacities follow the served config: PRE_NMS_TOPK_TEST 1000 /
+    # POST_NMS_TOPK_TEST 1000 (configs/Base-DensePose-RCNN-FPN.yaml:16-21)
+    # and DETECTIONS_PER_IMAGE 100 (detectron2/config/defaults.py:612)
     rpn_pre_nms_topk: int = 1000   # per level (test)
-    rpn_post_nms_topk: int = 300   # static proposal count fed to box head
+    rpn_post_nms_topk: int = 1000  # static proposal count fed to box head
     rpn_nms_thresh: float = 0.7
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
-    num_detections: int = 8        # static detection count
+    num_detections: int = 100      # static detection count
     dp_convs: int = 8
     dp_dim: int = 512
     dp_pooler: int = 28
+    # densepose head chunking: the head + 112x112x25 predictor outputs for
+    # 100 detections at once are ~0.5 GB of activations; lax.map over chunks
+    # bounds that without changing results (must divide num_detections)
+    dp_chunk: int = 20
     # Panoptic-FPN Decoder ahead of the densepose pooler (DECODER_ON defaults
     # True in densepose/config.py:191; the served s1x checkpoint has
     # roi_heads.decoder.* weights): merges P2-P5 into one stride-4 256-ch
@@ -216,6 +223,35 @@ def _multilevel_roi_align(ps, boxes, valid, out_size: int):
     return pooled
 
 
+def _dp_head_apply(params, dpp, cfg: DensePoseConfig):
+    """8x conv3x3-512 + per-output deconv2x + bilinear to 112
+    (DensePoseV1ConvXHead + predictors). At the served capacity of 100
+    detections the predictor outputs alone are ~0.5 GB of activations, so
+    the head runs as a lax.map over detection chunks — identical results,
+    peak memory bounded by the chunk."""
+    def head(chunk):
+        h = chunk
+        for conv in params["dp_head"]["convs"]:
+            h = jax.nn.relu(conv2d(conv, h, padding=((1, 1), (1, 1))))
+        outs = {}
+        for name in ("coarse_segm", "fine_segm", "u", "v"):
+            o = _deconv2x(params["dp_head"][name], h)        # (k, 56, 56, C)
+            outs[name] = jax.image.resize(
+                o, (o.shape[0], cfg.heatmap_size, cfg.heatmap_size,
+                    o.shape[-1]), jax.image.ResizeMethod.LINEAR)
+        return outs
+
+    k = dpp.shape[0]
+    chunk = min(cfg.dp_chunk, k)
+    if chunk <= 0 or k % chunk:
+        chunk = k  # no clean split — run unchunked
+    if chunk == k:
+        return head(dpp)
+    stacked = dpp.reshape(k // chunk, chunk, *dpp.shape[1:])
+    mapped = jax.lax.map(head, stacked)
+    return {name: o.reshape(k, *o.shape[2:]) for name, o in mapped.items()}
+
+
 def densepose_rcnn_apply(params, x, cfg: DensePoseConfig = DensePoseConfig()):
     """x: (1, H, W, 3) preprocessed BGR (caffe-style mean-subtracted).
     Returns dict with fixed-size detections + densepose outputs:
@@ -280,16 +316,7 @@ def densepose_rcnn_apply(params, x, cfg: DensePoseConfig = DensePoseConfig()):
                         spatial_scale=1.0 / 4.0, sampling_ratio=2)
     else:
         dpp = _multilevel_roi_align(ps, det_boxes, det_valid, cfg.dp_pooler)
-    h = dpp
-    for conv in params["dp_head"]["convs"]:
-        h = jax.nn.relu(conv2d(conv, h, padding=((1, 1), (1, 1))))
-    outs = {}
-    for name in ("coarse_segm", "fine_segm", "u", "v"):
-        o = _deconv2x(params["dp_head"][name], h)            # (K, 56, 56, C)
-        o = jax.image.resize(o, (o.shape[0], cfg.heatmap_size,
-                                 cfg.heatmap_size, o.shape[-1]),
-                             jax.image.ResizeMethod.LINEAR)
-        outs[name] = o
+    outs = _dp_head_apply(params, dpp, cfg)
 
     return {
         "boxes": det_boxes, "scores": det_scores, "valid": det_valid,

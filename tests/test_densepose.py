@@ -81,6 +81,65 @@ def test_paint_segmentation():
     np.testing.assert_array_equal(out[2, 2], gray[2, 2])
 
 
+def test_served_capacity_defaults():
+    """The static caps default to the SERVED config: 1000 post-NMS proposals
+    (Base-DensePose-RCNN-FPN.yaml:16-21) and 100 detections/image
+    (detectron2/config/defaults.py:612)."""
+    cfg = DensePoseConfig()
+    assert cfg.rpn_post_nms_topk == 1000
+    assert cfg.num_detections == 100
+    assert cfg.num_detections % cfg.dp_chunk == 0
+
+
+def test_crowded_scene_capacity_and_painting():
+    """More than the old 8-detection cap must flow through the head and all
+    of them must be painted (apply_net.py:270-285 composites every result)."""
+    cfg = DensePoseConfig(rpn_pre_nms_topk=80, rpn_post_nms_topk=64,
+                          num_detections=16, dp_chunk=4,
+                          box_score_thresh=0.0, box_nms_thresh=0.9)
+    params = init_densepose_rcnn(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 96, 3))
+    out = densepose_rcnn_apply(params, x, cfg)
+    n_valid = int(np.asarray(out["valid"]).sum())
+    assert n_valid > 8, n_valid
+    assert out["coarse"].shape[0] == 16
+
+    # every valid detection with a nonempty box colors its region
+    img = np.random.RandomState(1).randint(0, 255, (64, 96, 3), np.uint8)
+    labels = np.full((16, 112, 112), 5, np.uint8)
+    boxes = np.asarray(out["boxes"])
+    valid = np.asarray(out["valid"])
+    painted = paint_segmentation(img, boxes, labels, valid)
+    import cv2
+    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
+                        cv2.COLOR_GRAY2RGB)
+    n_painted = 0
+    for k in range(16):
+        if not valid[k]:
+            continue
+        x1, y1, x2, y2 = np.clip(boxes[k].round().astype(int),
+                                 0, [96, 64, 96, 64])
+        if x2 > x1 and y2 > y1:
+            if np.any(painted[y1:y2, x1:x2] != gray[y1:y2, x1:x2]):
+                n_painted += 1
+    assert n_painted > 8, n_painted
+
+
+def test_dp_head_chunking_equivalence():
+    """lax.map chunking is bit-identical to the unchunked head."""
+    from idmvton_tpu.preprocess.densepose.rcnn import _dp_head_apply
+    cfg_chunked = DensePoseConfig(num_detections=8, dp_chunk=2)
+    cfg_full = DensePoseConfig(num_detections=8, dp_chunk=8)
+    params = init_densepose_rcnn(jax.random.PRNGKey(4), cfg_chunked)
+    dpp = jax.random.normal(jax.random.PRNGKey(5),
+                            (8, cfg_chunked.dp_pooler, cfg_chunked.dp_pooler,
+                             cfg_chunked.decoder_dim))
+    a = _dp_head_apply(params, dpp, cfg_chunked)
+    b = _dp_head_apply(params, dpp, cfg_full)
+    for name in a:
+        np.testing.assert_array_equal(np.asarray(a[name]), np.asarray(b[name]))
+
+
 def test_wrapper_contract():
     dp = DensePose(cfg=CFG, short_edge=64, max_size=96)
     img = np.random.RandomState(0).randint(0, 255, (96, 72, 3), np.uint8)
