@@ -289,7 +289,9 @@ class OpenPose:
                             interpolation=cv2.INTER_CUBIC)
             ph = (self.stride - im.shape[0] % self.stride) % self.stride
             pw = (self.stride - im.shape[1] % self.stride) % self.stride
-            im = np.pad(im, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            # padRightDownCorner pads bottom/right with 128 (util.py:38-56)
+            im = np.pad(im, ((0, ph), (0, pw), (0, 0)), mode="constant",
+                        constant_values=128)
             x = im.astype(np.float32)[None] / 256.0 - 0.5
             paf, heat = self._apply(self.params, jnp.asarray(x))
             paf = np.asarray(jax.image.resize(
