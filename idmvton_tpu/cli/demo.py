@@ -27,13 +27,25 @@ _PAGE = """<!doctype html>
 <form method="post" action="/tryon" enctype="multipart/form-data">
   <p>Person photo: <input type="file" name="person" required></p>
   <p>Garment photo: <input type="file" name="garment" required></p>
+  <p>Mask (white = repaint; used when auto mask is off — the reference's
+     hand-drawn mask layer, app.py:156):
+     <input type="file" name="mask"></p>
   <p>Garment description: <input type="text" name="desc" value="shirt"></p>
   <p><label><input type="checkbox" name="auto_mask" checked> auto mask</label>
      <label><input type="checkbox" name="auto_crop"> auto crop 3:4</label></p>
   <p>Steps: <input type="number" name="steps" value="30" min="20" max="40">
      Seed: <input type="number" name="seed" value="42"></p>
+  <p>Output: <select name="format"><option>html</option><option>json</option>
+     <option>png</option></select></p>
   <p><input type="submit" value="Try on"></p>
 </form></body></html>"""
+
+_RESULT_PAGE = """<!doctype html>
+<html><head><title>idmvton_tpu try-on result</title></head>
+<body style="font-family: sans-serif; max-width: 960px; margin: 2em auto;">
+<h2>result</h2><img src="data:image/png;base64,{result}" width="384">
+<h2>masked preview</h2><img src="data:image/png;base64,{masked}" width="384">
+<p><a href="/">back</a></p></body></html>"""
 
 
 class TryonService:
@@ -73,17 +85,26 @@ class TryonService:
 
     def _gen(self, steps: int):
         if steps not in self._gens:
-            self._gens[steps] = self.pipe.jit_generate(
-                num_steps=steps, guidance_scale=2.0)
+            # the fused whole-pipeline program takes tens of minutes to
+            # remote-compile on the TPU tunnel; serve with the stepwise path
+            # there (identical math, small programs) like cli/train.py:160
+            make = (self.pipe.stepwise_generate
+                    if self.jax.default_backend() == "tpu"
+                    else self.pipe.jit_generate)
+            self._gens[steps] = make(num_steps=steps, guidance_scale=2.0)
         return self._gens[steps]
 
     @staticmethod
     def auto_crop_3_4(img: Image.Image):
-        """3:4 center crop (reference: app.py:135-145). Returns (crop, box)."""
+        """3:4 center crop of BOTH dims (reference: app.py:136-145).
+        Returns (crop, box)."""
         w, h = img.size
         target_w = int(min(w, h * 3 / 4))
+        target_h = int(min(h, w * 4 / 3))
         left = (w - target_w) // 2
-        return img.crop((left, 0, left + target_w, h)), (left, 0, left + target_w, h)
+        top = (h - target_h) // 2
+        box = (left, top, left + target_w, top + target_h)
+        return img.crop(box), box
 
     def tryon(self, person: Image.Image, garment: Image.Image, desc: str,
               *, auto_mask: bool = True, auto_crop: bool = False,
@@ -112,7 +133,17 @@ class TryonService:
                                             keypoints)
             mask = load_mask(mask_pil, (w, h))
         else:
-            mask = load_mask(mask_image, (w, h))
+            # hand-drawn layer: any non-black pixel is mask
+            # (pil_to_binary_mask, app.py:31-42 threshold 0)
+            gray = np.asarray(mask_image.convert("RGB").resize((w, h))
+                              .convert("L"))
+            mask = (gray > 0).astype(np.float32)[..., None]
+
+        # masked-gray preview (app.py:159-161: (1 - mask) * normalized person,
+        # displayed as (x+1)/2) — returned alongside the result (app.py:239-241)
+        person_pm1 = normalize_pm1(person, (w, h))
+        mask_gray = Image.fromarray(
+            denormalize_to_uint8(((1.0 - mask) * person_pm1)[None])[0])
 
         pose_rgb = self.densepose(np.asarray(person_resized))
         dtype = self.dtype
@@ -125,7 +156,7 @@ class TryonService:
             ip = np.asarray(jax.image.resize(jnp.asarray(ip), (isz, isz, 3),
                                              "bilinear"))
         inputs = dict(
-            person=jnp.asarray(normalize_pm1(person, (w, h))[None], dtype),
+            person=jnp.asarray(person_pm1[None], dtype),
             mask=jnp.asarray(mask[None], dtype),
             pose=jnp.asarray((pose_rgb.astype(np.float32) / 127.5 - 1)[None],
                              dtype),
@@ -147,8 +178,8 @@ class TryonService:
                               crop_box[3] - crop_box[1]))
             full = original.copy()
             full.paste(out, (crop_box[0], crop_box[1]))
-            return full
-        return out
+            return full, mask_gray
+        return out, mask_gray
 
 
 def make_handler(service: TryonService):
@@ -176,21 +207,45 @@ def make_handler(service: TryonService):
                 payload = part.get_payload(decode=True)
                 fields[name] = payload
             try:
+                import base64
                 person = Image.open(io.BytesIO(fields["person"]))
                 garment = Image.open(io.BytesIO(fields["garment"]))
+                mask_image = (Image.open(io.BytesIO(fields["mask"]))
+                              if fields.get("mask") else None)
                 desc = (fields.get("desc") or b"shirt").decode()
-                out = service.tryon(
+                fmt = (fields.get("format") or b"html").decode()
+                out, mask_gray = service.tryon(
                     person, garment, desc,
                     auto_mask="auto_mask" in fields,
                     auto_crop="auto_crop" in fields,
+                    mask_image=mask_image,
                     steps=int(fields.get("steps", b"30")),
                     seed=int(fields.get("seed", b"42")))
-                buf = io.BytesIO()
-                out.save(buf, "PNG")
+
+                def png(im):
+                    buf = io.BytesIO()
+                    im.save(buf, "PNG")
+                    return buf.getvalue()
+
                 self.send_response(200)
-                self.send_header("Content-Type", "image/png")
-                self.end_headers()
-                self.wfile.write(buf.getvalue())
+                if fmt == "png":
+                    self.send_header("Content-Type", "image/png")
+                    self.end_headers()
+                    self.wfile.write(png(out))
+                elif fmt == "json":
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(json.dumps({
+                        "result": base64.b64encode(png(out)).decode(),
+                        "masked": base64.b64encode(png(mask_gray)).decode(),
+                    }).encode())
+                else:  # result + masked-gray preview (app.py:239-241)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(_RESULT_PAGE.format(
+                        result=base64.b64encode(png(out)).decode(),
+                        masked=base64.b64encode(png(mask_gray)).decode(),
+                    ).encode())
             except Exception as e:  # surface errors to the browser
                 self.send_response(500)
                 self.send_header("Content-Type", "application/json")

@@ -1,23 +1,57 @@
-"""Demo service end-to-end (tiny models, direct service call — the HTTP layer
-is a thin shim)."""
+"""Demo service end-to-end (tiny models): direct service calls plus the
+HTTP layer with the manual-mask branch (reference: gradio_demo/app.py:156
+hand-drawn mask layer, :239-241 result + masked-gray preview)."""
 
 import argparse
+import base64
+import io
+import json
+import threading
 
 import numpy as np
 from PIL import Image
 
-from idmvton_tpu.cli.demo import TryonService
+from idmvton_tpu.cli.demo import TryonService, make_handler
+
+
+def _args(**kw):
+    d = dict(width=48, height=64, pretrained=None, tokenizer_dir=None,
+             tiny=True)
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def _imgs(seed=0, size=(96, 128)):
+    rng = np.random.RandomState(seed)
+    w, h = size
+    person = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+    garment = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+    return person, garment
 
 
 def test_tryon_service_end_to_end():
-    args = argparse.Namespace(width=48, height=64, pretrained=None,
-                              tokenizer_dir=None, tiny=True)
-    svc = TryonService(args)
-    rng = np.random.RandomState(0)
-    person = Image.fromarray(rng.randint(0, 255, (128, 96, 3), np.uint8))
-    garment = Image.fromarray(rng.randint(0, 255, (128, 96, 3), np.uint8))
-    out = svc.tryon(person, garment, "shirt", auto_mask=True, steps=2)
+    svc = TryonService(_args())
+    person, garment = _imgs()
+    out, mask_gray = svc.tryon(person, garment, "shirt", auto_mask=True,
+                               steps=2)
     assert out.size == (48, 64)
+    assert mask_gray.size == (48, 64)
+
+
+def test_tryon_manual_mask_branch():
+    svc = TryonService(_args())
+    person, garment = _imgs(1)
+    # hand-drawn layer: white blob on black (pil_to_binary_mask threshold 0)
+    layer = np.zeros((128, 96, 3), np.uint8)
+    layer[30:80, 20:70] = 255
+    out, mask_gray = svc.tryon(person, garment, "shirt", auto_mask=False,
+                               mask_image=Image.fromarray(layer), steps=2)
+    assert out.size == (48, 64)
+    # preview is the person outside the mask, mid-gray inside
+    mg = np.asarray(mask_gray)
+    assert mg.shape == (64, 48, 3)
+    inside = mg[20:38, 12:32]
+    assert np.abs(inside.astype(int) - 127).max() <= 1, "mask region ~0.5 gray"
 
 
 def test_auto_crop_3_4():
@@ -25,3 +59,63 @@ def test_auto_crop_3_4():
     crop, box = TryonService.auto_crop_3_4(img)
     assert crop.size == (750, 1000)
     assert box == (125, 0, 875, 1000)
+    # wide image: height is cropped too (app.py:136-145)
+    wide = Image.new("RGB", (2000, 1000))
+    crop, box = TryonService.auto_crop_3_4(wide)
+    assert crop.size == (750, 1000)
+
+
+def test_http_manual_mask_end_to_end():
+    """Full HTTP round trip through the stdlib server: multipart POST with a
+    mask file, JSON response carrying result + masked preview."""
+    from http.server import ThreadingHTTPServer
+    import urllib.request
+
+    svc = TryonService(_args())
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        person, garment = _imgs(2)
+
+        def png_bytes(im):
+            buf = io.BytesIO()
+            im.save(buf, "PNG")
+            return buf.getvalue()
+
+        layer = np.zeros((128, 96, 3), np.uint8)
+        layer[40:90, 24:72] = 255
+        boundary = "XBOUNDARYX"
+        parts = []
+        for name, payload, is_file in (
+                ("person", png_bytes(person), True),
+                ("garment", png_bytes(garment), True),
+                ("mask", png_bytes(Image.fromarray(layer)), True),
+                ("desc", b"shirt", False),
+                ("steps", b"2", False),
+                ("seed", b"7", False),
+                ("format", b"json", False)):
+            head = (f'--{boundary}\r\nContent-Disposition: form-data; '
+                    f'name="{name}"'
+                    + (f'; filename="{name}.png"\r\nContent-Type: image/png'
+                       if is_file else "")
+                    + "\r\n\r\n").encode()
+            parts.append(head + payload + b"\r\n")
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tryon", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+        result = Image.open(io.BytesIO(base64.b64decode(payload["result"])))
+        masked = Image.open(io.BytesIO(base64.b64decode(payload["masked"])))
+        assert result.size == (48, 64)
+        assert masked.size == (48, 64)
+        # the drawn mask region reads back as the mid-gray preview
+        mg = np.asarray(masked)
+        assert np.abs(mg[25:40, 15:30].astype(int) - 127).max() <= 1
+    finally:
+        server.shutdown()
