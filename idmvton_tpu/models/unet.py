@@ -109,6 +109,13 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
     rev = list(reversed(chans))
     for i, btype in enumerate(cfg.up_block_types):
         lvl = cfg.num_levels - 1 - i
+        if cfg.skip_final_output and btype == "plain":
+            # GarmentNet never runs its trailing plain up blocks (the forward
+            # breaks at the same condition below); the reference checkpoint
+            # still SHIPS those weights (unet_hacked_garmnet.py defines all
+            # blocks), but allocating dead HBM for them hurts on TPU — the
+            # converter skips the same keys (converter.py::_unet_schema)
+            break
         out_ch = rev[i]
         prev_out = rev[max(i - 1, 0)]
         in_skip = rev[min(i + 1, cfg.num_levels - 1)]

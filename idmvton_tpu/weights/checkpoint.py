@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from idmvton_tpu.core.config import (
     UNetConfig, VAEConfig, CLIPTextConfig, CLIPVisionConfig, ResamplerConfig,
@@ -109,6 +110,65 @@ def load_train_state(path: str, template, step: Optional[int] = None):
                       opt_state=restored["opt_state"])
 
 
+def save_diffusers(path: str, models: TryonModels):
+    """Write a diffusers-layout pipeline tree for interop back to the torch
+    ecosystem (reference: train_xl.py:770-792 pipeline.save_pretrained):
+    model_index.json + per-subfolder config.json + safetensors in the
+    yisol/IDM-VTON hub layout that ``from_diffusers`` (and the reference's
+    inference.py:232-274) consumes. The Resampler rides inside the unet
+    state dict as encoder_hid_proj.* (train_xl.py:343-357)."""
+    from safetensors.numpy import save_file
+    from idmvton_tpu.weights.converter import (
+        export_unet, export_vae, export_clip_text, export_clip_vision,
+        export_resampler,
+    )
+
+    unet_sd = export_unet(models.unet, models.unet_cfg)
+    unet_sd.update(export_resampler(models.resampler, models.resampler_cfg,
+                                    prefix="encoder_hid_proj."))
+    subfolders = {
+        "unet": ("diffusers", "UNet2DConditionModel",
+                 "diffusion_pytorch_model.safetensors", unet_sd),
+        "unet_encoder": ("diffusers", "UNet2DConditionModel",
+                         "diffusion_pytorch_model.safetensors",
+                         export_unet(models.garm, models.garm_cfg)),
+        "vae": ("diffusers", "AutoencoderKL",
+                "diffusion_pytorch_model.safetensors",
+                export_vae(models.vae, models.vae_cfg)),
+        "text_encoder": ("transformers", "CLIPTextModel",
+                         "model.safetensors",
+                         export_clip_text(models.clip_l, models.clip_l_cfg)),
+        "text_encoder_2": ("transformers", "CLIPTextModelWithProjection",
+                           "model.safetensors",
+                           export_clip_text(models.clip_g, models.clip_g_cfg)),
+        "image_encoder": ("transformers", "CLIPVisionModelWithProjection",
+                          "model.safetensors",
+                          export_clip_vision(models.vision,
+                                             models.vision_cfg)),
+    }
+    index = {"_class_name": "TryonPipeline", "_diffusers_version": "0.25.0",
+             # our frozen-dataclass configs, so from_diffusers round-trips
+             # non-SDXL (e.g. tiny) geometries; torch diffusers ignores keys
+             # it doesn't know
+             "_idmvton_cfgs": {f: dataclasses.asdict(getattr(models, f))
+                               for f in _CFG_FIELDS}}
+    os.makedirs(path, exist_ok=True)
+    for name, (lib, cls, fname, sd) in subfolders.items():
+        sub = os.path.join(path, name)
+        os.makedirs(sub, exist_ok=True)
+        # safetensors serializes the BASE buffer of non-contiguous views
+        # (the exporters' .T kernels) — silent data corruption without this
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  os.path.join(sub, fname))
+        with open(os.path.join(sub, "config.json"), "w") as f:
+            json.dump({"_class_name" if lib == "diffusers"
+                       else "architectures": cls if lib == "diffusers"
+                       else [cls]}, f)
+        index[name] = [lib, cls]
+    with open(os.path.join(path, "model_index.json"), "w") as f:
+        json.dump(index, f, indent=2)
+
+
 def _find_weights(subdir: str) -> Optional[str]:
     for pattern in ("*.safetensors", "*.bin", "*.pth", "*.pt"):
         hits = sorted(glob.glob(os.path.join(subdir, pattern)))
@@ -131,6 +191,19 @@ def from_diffusers(root: str, dtype=jnp.bfloat16, *,
         vision_cfg=CLIPVisionConfig.vit_h(),
         resampler_cfg=ResamplerConfig.sdxl_plus(),
     )
+    # trees written by save_diffusers carry our exact configs (so non-SDXL
+    # geometries round-trip); hub trees without the key keep the defaults
+    index_path = os.path.join(root, "model_index.json")
+    if os.path.isfile(index_path):
+        with open(index_path) as f:
+            saved = json.load(f).get("_idmvton_cfgs")
+        if saved:
+            for field, typ in zip(_CFG_FIELDS, _CFG_TYPES):
+                d = saved[field]
+                for k, v in list(d.items()):
+                    if isinstance(v, list):
+                        d[k] = tuple(v)
+                cfgs[field] = typ(**d)
     unet_sd = load_state_dict(_find_weights(os.path.join(root, unet_subfolder)))
     garm_sd = load_state_dict(_find_weights(os.path.join(root, "unet_encoder")))
     vae_sd = load_state_dict(_find_weights(os.path.join(root, "vae")))

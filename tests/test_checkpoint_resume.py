@@ -58,3 +58,38 @@ def test_prune_old_states(tmp_path):
     import os
     kept = sorted(os.listdir(path))
     assert kept == ["state_3", "state_4"]
+
+
+def test_save_diffusers_roundtrip(tmp_path):
+    """save_diffusers writes a diffusers-layout tree (model_index.json +
+    subfolder safetensors, train_xl.py:770-792 capability) that
+    from_diffusers loads back to numerically identical params."""
+    from idmvton_tpu.weights.checkpoint import save_diffusers, from_diffusers
+    import os
+
+    models = TryonModels.init(jax.random.PRNGKey(3), tiny=True,
+                              dtype=jnp.float32)
+    root = str(tmp_path / "diffusers_tree")
+    save_diffusers(root, models)
+
+    assert os.path.isfile(os.path.join(root, "model_index.json"))
+    for sub, fname in (("unet", "diffusion_pytorch_model.safetensors"),
+                       ("unet_encoder", "diffusion_pytorch_model.safetensors"),
+                       ("vae", "diffusion_pytorch_model.safetensors"),
+                       ("text_encoder", "model.safetensors"),
+                       ("text_encoder_2", "model.safetensors"),
+                       ("image_encoder", "model.safetensors")):
+        assert os.path.isfile(os.path.join(root, sub, fname)), sub
+        assert os.path.isfile(os.path.join(root, sub, "config.json")), sub
+
+    loaded = from_diffusers(root, dtype=jnp.float32)
+    for field in ("unet", "garm", "vae", "clip_l", "clip_g", "vision",
+                  "resampler"):
+        want = getattr(models, field)
+        got = getattr(loaded, field)
+        flat_w, tdef_w = jax.tree_util.tree_flatten(want)
+        flat_g, tdef_g = jax.tree_util.tree_flatten(got)
+        assert tdef_w == tdef_g, field
+        for w, g in zip(flat_w, flat_g):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6, err_msg=field)
