@@ -109,9 +109,8 @@ class DDPMScheduler:
         alpha_cumprod_prev = 1). ``num_inference_steps`` is accepted for
         call-site compatibility but unused.
         """
-        ts = np.asarray(timesteps)
-        prev = np.concatenate([ts[1:], np.asarray([-1], ts.dtype)])
-        return jnp.asarray(prev)
+        ts = jnp.asarray(timesteps)  # tracer-safe: ts may be traced in jit
+        return jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
 
     def predict_x0(self, model_output, sample, t):
         """Recover x0 from the model output under the configured

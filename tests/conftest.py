@@ -16,6 +16,13 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the tiny-model programs repeat across test files
+# (pipeline/train/zero1/parallel all jit the same tiny stacks) and across
+# runs; caching them locally cuts suite wall time on this 1-CPU host.
+# (The TPU relay compiles server-side and ignores this cache — CLAUDE.md —
+# but the CPU backend honors it.)
+jax.config.update("jax_compilation_cache_dir", "/tmp/idmvton_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8
