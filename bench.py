@@ -25,9 +25,99 @@ import functools
 import json
 import os
 import signal
+import subprocess
 import sys
 import threading
 import time
+
+BASELINE_IMG_PER_SEC = 0.25  # est. A100-class at this operating point
+# upper bounds ~3x the measured r2 values (encode 0.34 s, decode 0.20 s)
+ENCODE_EST_UB = 1.5
+DECODE_EST_UB = 0.8
+
+
+def _result_from_state(st):
+    """Build the JSON result dict from a (possibly partial) state snapshot.
+    stdlib-only: shared by the in-process emit and the out-of-process
+    watchdog. Returns (result_or_None, description)."""
+    if not st or st.get("denoise") is None or not st.get("batch"):
+        return None, ("denoise not yet measured - no honest partial number. "
+                      "Likely cause: server-side compile-queue backlog or a "
+                      "wedged relay (see CLAUDE.md).")
+    est = []
+    enc = sum(st.get("encode_parts", {}).values())
+    if not st.get("encode_all"):
+        missing = {"text", "vision", "vae"} - set(st.get("encode_parts", {}))
+        enc += ENCODE_EST_UB * len(missing) / 3.0
+        est.append(f"encode~{sorted(missing)}")
+    dec = st.get("decode")
+    if dec is None:
+        dec = DECODE_EST_UB
+        est.append("decode")
+    total = enc + st["denoise"] + dec
+    img_per_sec = st["batch"] / total
+    result = {
+        "metric": st["metric"],
+        "value": round(img_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+    }
+    desc = (f"encode {enc:.2f}s denoise {st['denoise']:.2f}s dec {dec:.2f}s; "
+            f"sec/img {total / st['batch']:.2f}"
+            + (f"; PARTIAL (upper-bound estimates for: {est})" if est else ""))
+    return result, desc
+
+
+def _read_journal(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _watchdog_subprocess_main(ppid: int, journal: str, deadline: float) -> int:
+    """Out-of-process watchdog (run with `python -S`, no sitecustomize, no
+    jax): the axon relay client can block the parent WITHOUT releasing the
+    GIL, so in-process threads and python signal handlers never run there
+    (round-2 postmortem: the driver's bench died rc=124 with zero output; the
+    thread watchdog silently never fired). This process shares the parent's
+    stdout, so it can emit the JSON line from the journaled phase results and
+    SIGKILL the wedged parent."""
+    def parent_alive():
+        try:
+            os.kill(ppid, 0)
+            return True
+        except OSError:
+            return False
+
+    while time.time() < deadline:
+        st = _read_journal(journal)
+        if st and st.get("emitted"):
+            return 0
+        if not parent_alive():
+            # parent exited; honor its emit if journaled, else stay quiet
+            # (a crash before any measurement has nothing honest to report)
+            return 0
+        time.sleep(2.0)
+    st = _read_journal(journal) or {}
+    if st.get("emitted"):
+        return 0
+    result, desc = _result_from_state(st)
+    print(f"[watchdog] budget expired during phase {st.get('phase')!r}; "
+          f"{desc}", file=sys.stderr, flush=True)
+    if result is not None:
+        print(json.dumps(result), flush=True)
+    try:
+        os.kill(ppid, signal.SIGKILL)
+    except OSError:
+        pass
+    return 0 if result is not None else 3
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--watchdog":
+    sys.exit(_watchdog_subprocess_main(
+        int(sys.argv[2]), sys.argv[3], float(sys.argv[4])))
 
 import jax
 
@@ -40,8 +130,6 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-BASELINE_IMG_PER_SEC = 0.25  # est. A100-class at this operating point
 
 TINY = os.environ.get("BENCH_TINY") == "1"
 BATCH = int(os.environ.get("BENCH_BATCH", "2"))
@@ -61,9 +149,6 @@ GARMENT_CACHE = os.environ.get("BENCH_GARMENT_CACHE", "every_step")
 # estimated: without it there is no honest number, so expiry before it logs
 # a diagnosis and exits 3.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
-# upper bounds ~3x the measured r2 values (encode 0.34 s, decode 0.20 s)
-ENCODE_EST_UB = 1.5
-DECODE_EST_UB = 0.8
 
 T_START = time.time()
 STATE = {
@@ -77,10 +162,37 @@ STATE = {
     "emitted": False,
 }
 _EMIT_LOCK = threading.Lock()
+_JOURNAL = os.environ.get("BENCH_JOURNAL",
+                          f"/tmp/idmvton_bench_journal_{os.getpid()}.json")
 
 
 def log(msg):
     print(f"[{time.time() - T_START:7.1f}s] {msg}", file=sys.stderr, flush=True)
+    _journal()  # every phase transition logs — keep the journal current
+
+
+def _journal():
+    """Persist STATE so the out-of-process watchdog can emit a partial
+    result even when this process is wedged inside the relay client."""
+    try:
+        tmp = _JOURNAL + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(STATE, f)
+        os.replace(tmp, _JOURNAL)
+    except OSError:
+        pass
+
+
+def _spawn_watchdog():
+    """Start the `--watchdog` subprocess (python -S: no sitecustomize, no
+    jax, no relay). It inherits stdout, so it can print the JSON line and
+    SIGKILL this process if the relay wedges us with the GIL held — an
+    in-process thread or signal handler never runs in that state."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    return subprocess.Popen(
+        [sys.executable, "-S", os.path.abspath(__file__), "--watchdog",
+         str(os.getpid()), _JOURNAL, repr(T_START + BUDGET_S)],
+        env=env, stdin=subprocess.DEVNULL)
 
 
 def _emit(partial: bool) -> bool:
@@ -88,48 +200,31 @@ def _emit(partial: bool) -> bool:
     with _EMIT_LOCK:
         if STATE["emitted"]:
             return True
-        if STATE["denoise"] is None:
+        result, desc = _result_from_state(STATE)
+        if result is None:
             return False
-        est = []
-        enc = sum(STATE["encode_parts"].values())
-        if not STATE["encode_all"]:
-            missing = {"text", "vision", "vae"} - set(STATE["encode_parts"])
-            enc += ENCODE_EST_UB * len(missing) / 3.0
-            est.append(f"encode~{sorted(missing)}")
-        dec = STATE["decode"]
-        if dec is None:
-            dec = DECODE_EST_UB
-            est.append("decode")
-        total = enc + STATE["denoise"] + dec
-        img_per_sec = STATE["batch"] / total
-        result = {
-            "metric": STATE["metric"],
-            "value": round(img_per_sec, 4),
-            "unit": "img/s",
-            "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
-        }
         print(json.dumps(result), flush=True)
         STATE["emitted"] = True
-        log(f"# encode {enc:.2f}s denoise {STATE['denoise']:.2f}s "
-            f"decode {dec:.2f}s; sec/img {total / STATE['batch']:.2f}; "
-            f"backend {jax.default_backend()}"
-            + (f"; PARTIAL (upper-bound estimates for: {est})" if est else ""))
+        _journal()
+        log(f"# {desc}; backend {jax.default_backend()}")
         return True
 
 
 def _watchdog():
-    wake = T_START + BUDGET_S
+    # in-process fallback (fires 30 s before the subprocess so the clean
+    # path wins when the process is healthy)
+    wake = T_START + BUDGET_S - 30.0
     while time.time() < wake and not STATE["emitted"]:
         time.sleep(min(5.0, max(0.1, wake - time.time())))
     if STATE["emitted"]:
         return
-    log(f"WATCHDOG: budget {BUDGET_S:.0f}s expired during phase "
+    log(f"WATCHDOG(thread): budget {BUDGET_S:.0f}s expiring during phase "
         f"'{STATE['phase']}' — emitting partial result")
     if _emit(partial=True):
         os._exit(0)
-    log("WATCHDOG: denoise not yet measured — no honest partial number. "
-        "Likely cause: server-side compile-queue backlog (compiles queue "
-        "even after killed clients; see CLAUDE.md).")
+    log("WATCHDOG(thread): denoise not yet measured — no honest partial "
+        "number. Likely cause: server-side compile-queue backlog (compiles "
+        "queue even after killed clients; see CLAUDE.md).")
     os._exit(3)
 
 
@@ -193,11 +288,14 @@ def main():
                        + ("_garmcache" if GARMENT_CACHE == "once" else ""))
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
+    _journal()
     threading.Thread(target=_watchdog, daemon=True).start()
+    wd = _spawn_watchdog()
 
     # pre-flight: one trivial compile — its latency is a direct read on the
     # server-side compile queue (a clear queue answers in seconds; the r2
-    # driver run stalled >20 min on the first real compile)
+    # driver run stalled >20 min on the first real compile, and a wedged
+    # relay can hang even jax.devices() indefinitely — observed r3)
     STATE["phase"] = "preflight"
     t0 = time.time()
     float(jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.float32))[0])
@@ -317,6 +415,7 @@ def main():
         lat = denoise(jax.random.PRNGKey(21 + i))
         denoise_times.append(time.time() - t0)
         STATE["denoise"] = min(denoise_times)
+        _journal()
     log(f"  denoise times {['%.2f' % t for t in denoise_times]}")
 
     # ---- phase 2: VAE decode (UNets freed first: fp32 decode activations
@@ -406,6 +505,14 @@ def main():
     STATE["encode_all"] = True
     STATE["phase"] = "done"
     _emit(partial=False)
+    try:
+        wd.terminate()
+    except OSError:
+        pass
+    try:
+        os.unlink(_JOURNAL)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
