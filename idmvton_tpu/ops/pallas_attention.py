@@ -243,6 +243,12 @@ def _exp_bf16() -> bool:
 _FIXED_SHIFT_CLAMP = 60.0
 
 
+def _mxu_lsum() -> bool:
+    # MXU softmax denominator (fixed-shift path only, d < 128): see the
+    # kernel comment. IDMVTON_FLASH_MXU_LSUM=0 restores the VPU row-sum.
+    return os.environ.get("IDMVTON_FLASH_MXU_LSUM", "1") == "1"
+
+
 def _fixed_shift() -> bool:
     # Fixed-shift softmax (DEFAULT): skip the online running-max and compute
     # p = exp(min(logits, clamp)) directly. EXACT by softmax shift-invariance
@@ -280,7 +286,7 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                        hpb: int, d: int, n_own: int, m_garm: int,
                        block_kv: int, own_steps: int, n_kv: int,
                        uncond_rows: int, sink_tokens: int, has_garm: bool,
-                       prescale_q: bool, fixed_shift: bool):
+                       prescale_q: bool, fixed_shift: bool, mxu_lsum: bool):
     if has_garm:
         kg_ref, vg_ref, o_ref = rest[:3]
         scratch = rest[3:]
@@ -340,9 +346,29 @@ def _flash_kernel_gemm(q_ref, ko_ref, vo_ref, *rest, scale: float,
                 # l accumulator cannot overflow fp32 at any KV length (see the
                 # constant's comment) — never NaN/inf
                 p = jnp.exp(jnp.minimum(logits, _FIXED_SHIFT_CLAMP))
+                pb = p.astype(v.dtype)
+                if mxu_lsum:
+                    # softmax denominator on the MXU: a ones column appended
+                    # to V makes the PV matmul emit [acc | sum(p)] in one
+                    # pass (same single 128-lane output tile at d<=127),
+                    # replacing the BQxBKV VPU row-reduction with a BKVx1
+                    # concat. Masked tail columns have p == 0 exactly, so
+                    # the unmasked ones column contributes nothing there.
+                    # The denominator becomes an fp32 accumulation of bf16
+                    # terms (~2^-9 relative) — below the bf16 output
+                    # rounding, same argument as the exp_bf16 knob.
+                    vh_ext = jnp.concatenate(
+                        [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+                    pv = jax.lax.dot_general(
+                        pb, vh_ext, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)  # (BQ, d+1)
+                    acc_ref[:] = acc_ref[:] + pv[:, :d]
+                    l_ref[:] = l_ref[:] + pv[:, d:d + 1]
+                    continue
                 l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
                 pv = jax.lax.dot_general(
-                    p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
+                    pb, vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
                 acc_ref[:] = acc_ref[:] + pv
@@ -518,7 +544,8 @@ def _flash_gemm_core(qkv, kv_ref, heads, scale, sink_tokens, uncond_rows,
         _flash_kernel_gemm, scale=float(scale), hpb=hpb, d=d, n_own=n,
         m_garm=m_garm, block_kv=block_kv, own_steps=own_steps, n_kv=n_kv,
         uncond_rows=uncond_rows, sink_tokens=sink_tokens, has_garm=has_garm,
-        prescale_q=prescale_q, fixed_shift=fixed_shift)
+        prescale_q=prescale_q, fixed_shift=fixed_shift,
+        mxu_lsum=fixed_shift and d < _LANE and _mxu_lsum())
 
     in_specs = [qkv_spec(0), qkv_spec(1), qkv_spec(2)]
     inputs = [qkv, qkv, qkv]

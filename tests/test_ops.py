@@ -496,6 +496,27 @@ def test_flash_gemm_fixed_shift_vs_online_max(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_flash_gemm_mxu_lsum_kill_switch(monkeypatch):
+    """IDMVTON_FLASH_MXU_LSUM=0 (VPU row-sum) and =1 (ones-column PV matmul)
+    produce the same output as the XLA oracle, including the masked-edge
+    blocks (n and m both off the 128 grid)."""
+    from idmvton_tpu.ops import pallas_attention as PA
+    b, n, heads, d, m = 2, 200, 2, 64, 100
+    hd = heads * d
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    qkv = jax.random.normal(k1, (b, n, 3 * hd), jnp.float32)
+    kv_ref = jax.random.normal(k2, (b - 1, m, 2 * hd), jnp.float32)
+    want = PA._gemm_ref_xla(qkv, kv_ref, heads, d ** -0.5, 0, 1)
+    monkeypatch.setenv("IDMVTON_FLASH_FIXED_SHIFT", "1")
+    for mode in ("0", "1"):
+        monkeypatch.setenv("IDMVTON_FLASH_MXU_LSUM", mode)
+        got = PA.flash_attention_gemm(qkv, kv_ref, heads=heads,
+                                      uncond_rows=1, block_q=128,
+                                      block_kv=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=mode)
+
+
 def test_conv3x3_bn0_falls_back_to_xla(monkeypatch):
     """Advisor r2: conv3x3() on a geometry whose VMEM budget fits nothing
     must fall back to XLA, not ZeroDivisionError at trace time."""
