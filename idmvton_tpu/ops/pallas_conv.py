@@ -49,6 +49,42 @@ def _conv3_kernel(x_ref, w_ref, b_ref, o_ref, *, bh: int, wdt: int, c: int):
     o_ref[0] = acc.reshape(bh, wdt, -1).astype(o_ref.dtype)
 
 
+def _padacc() -> bool:
+    # Padded-output-accumulator tap formulation (default OFF until measured
+    # on-device): each (dy,dx) tap of the baseline kernel slices a
+    # (bh, wdt, c) window out of the (wdt+2)-pitch padded activation and
+    # reshapes it to GEMM layout — a vector-copy relayout per tap (9 per
+    # block, each bh*wdt*c elements). This variant GEMMs over the FULL
+    # padded rows (the (bh, wdt+2, c) -> (bh*(wdt+2), c) reshape is
+    # pitch-exact, i.e. free) and instead shifts each tap's result by
+    # (2-dx) sublanes into a (bh, wdt+4, bn) fp32 accumulator: the padded
+    # halo columns are zeros, so out-of-range contributions land in the
+    # discarded margin. Costs 2/wdt extra MXU FLOPs (+8% at wdt=24) for
+    # zero input relayout. A/B with IDMVTON_CONV_PADACC=1.
+    return os.environ.get("IDMVTON_CONV_PADACC", "0") == "1"
+
+
+def _conv3_kernel_padacc(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
+                         bh: int, wdt: int, c: int):
+    hi = pl.program_id(1)
+    wp = wdt + 2
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        xf = x_ref[0, pl.ds(hi * bh + dy, bh), :, :].reshape(bh * wp, c)
+        for dx in range(3):
+            tap = (3 * dy + dx) * c
+            wk = w_ref[tap:tap + c, :]
+            d = jax.lax.dot_general(
+                xf, wk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            off = 2 - dx
+            acc_ref[:, off:off + wp, :] = (
+                acc_ref[:, off:off + wp, :] + d.reshape(bh, wp, -1))
+    out = acc_ref[:, 2:2 + wdt, :] + b_ref[0][None, None, :]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
 def _pick_bh(h: int, wdt: int, target: int) -> int:
     best = 1
     for bh in range(1, h + 1):
@@ -77,7 +113,9 @@ def _whole_act_need(h, wdt, cin, bn, bh, es):
     x_bytes = (h + 2) * (wdt + 2) * cin * es
     w_bytes = 9 * cin * bn * es
     o_bytes = bh * wdt * bn * es
-    acc_bytes = bh * wdt * bn * 4
+    # padacc's explicit scratch is (bh, wdt+4, bn) fp32; the baseline's
+    # implicit register accumulator is bh*wdt*bn fp32 — budget the larger
+    acc_bytes = bh * (wdt + 4) * bn * 4
     return 2 * (x_bytes + w_bytes + o_bytes) + acc_bytes
 
 
@@ -114,8 +152,12 @@ def _conv3_forward(x, w, b, rows_target):
             else b.astype(jnp.float32)).reshape(1, cout)
 
     grid = (bsz, h // bh, cout // bn)
+    padacc = _padacc()
+    kernel = (functools.partial(_conv3_kernel_padacc, bh=bh, wdt=wdt, c=cin)
+              if padacc
+              else functools.partial(_conv3_kernel, bh=bh, wdt=wdt, c=cin))
     out = pl.pallas_call(
-        functools.partial(_conv3_kernel, bh=bh, wdt=wdt, c=cin),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h + 2, wdt + 2, cin),
@@ -126,6 +168,8 @@ def _conv3_forward(x, w, b, rows_target):
         out_specs=pl.BlockSpec((1, bh, wdt, bn),
                                lambda bi, hi, j: (bi, hi, 0, j)),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, cout), x.dtype),
+        scratch_shapes=([pltpu.VMEM((bh, wdt + 4, bn), jnp.float32)]
+                        if padacc else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=CONV_VMEM_LIMIT_MB * 1024 * 1024,
         ) if jax.default_backend() == "tpu" else None,

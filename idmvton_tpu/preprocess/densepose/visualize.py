@@ -112,6 +112,17 @@ class DensePose:
         bgr = np.pad(bgr, ((0, ph), (0, pw), (0, 0)))
         return bgr, scale
 
+    def detect(self, image_rgb: np.ndarray):
+        """Detection-only forward: (boxes (K,4) xyxy in input-image coords,
+        scores (K,), valid (K,) bool) with K = cfg.num_detections. The
+        model half of the eval harness (preprocess/densepose/evaluate.py),
+        like d2's model-in-eval-mode under inference_on_dataset."""
+        bgr, scale = self._preprocess(image_rgb)
+        out = self._apply(self.params, jnp.asarray(bgr[None]))
+        return (np.asarray(out["boxes"]) / scale,
+                np.asarray(out["scores"]),
+                np.asarray(out["valid"]).astype(bool))
+
     def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
         bgr, scale = self._preprocess(image_rgb)
         out = self._apply(self.params, jnp.asarray(bgr[None]))

@@ -140,6 +140,76 @@ def test_dp_head_chunking_equivalence():
         np.testing.assert_array_equal(np.asarray(a[name]), np.asarray(b[name]))
 
 
+def test_eval_harness_perfect_and_degraded():
+    """inference_on_dataset + DetectionEvaluator (the reference's
+    inference-accuracy-test idiom, dev/run_inference_tests.sh): perfect
+    predictions score AP 1.0; dropping a GT's detection and adding a false
+    positive scores strictly lower."""
+    from idmvton_tpu.preprocess.densepose.evaluate import (
+        DetectionEvaluator, inference_on_dataset,
+    )
+    rng = np.random.RandomState(0)
+    gts = {i: np.abs(rng.rand(3, 2)) * 30 for i in range(4)}
+    data = []
+    for i in range(4):
+        xy = rng.rand(3, 2) * 60
+        boxes = np.concatenate([xy, xy + 10 + gts[i]], axis=1)
+        data.append((i, np.zeros((80, 80, 3), np.uint8), boxes))
+
+    def perfect(img, _it=iter(list(data))):
+        _, _, gt = next(_it)
+        k = np.zeros((8, 4), np.float32)
+        k[:len(gt)] = gt
+        valid = np.arange(8) < len(gt)
+        return k, np.linspace(0.9, 0.5, 8), valid
+
+    res = inference_on_dataset(perfect, data)
+    assert res["n_images"] == 4
+    assert res["stats"][0] == 1.0
+
+    def degraded(img, _it=iter(list(data))):
+        _, _, gt = next(_it)
+        k = np.zeros((8, 4), np.float32)
+        k[:len(gt) - 1] = gt[:-1]           # miss one GT
+        k[len(gt) - 1] = [70, 70, 79, 79]   # false positive
+        valid = np.arange(8) < len(gt)
+        return k, np.linspace(0.9, 0.5, 8), valid
+
+    res2 = inference_on_dataset(degraded, data, DetectionEvaluator())
+    assert 0.0 < res2["stats"][0] < res["stats"][0]
+
+
+def test_eval_harness_drives_densepose_detect():
+    """End-to-end glue: DensePose.detect plugs into the harness (random
+    weights -> near-zero AP, but shapes/coords/valid masking flow)."""
+    from idmvton_tpu.preprocess.densepose.evaluate import inference_on_dataset
+    cfg = DensePoseConfig(rpn_pre_nms_topk=50, rpn_post_nms_topk=20,
+                          num_detections=4)
+    dp = DensePose(cfg=cfg, short_edge=64, max_size=96)
+    img = np.random.RandomState(1).randint(0, 255, (96, 72, 3), np.uint8)
+    gt = np.array([[10.0, 10.0, 40.0, 60.0]], np.float32)
+    res = inference_on_dataset(dp.detect, [(0, img, gt)])
+    assert res["n_images"] == 1
+    assert 0.0 <= res["stats"][0] <= 1.0
+
+
+def test_empty_instances_paints_background_only():
+    """Reference idiom: e2e on random inputs incl. the EMPTY-instances edge
+    case (projects/DensePose/tests/test_model_e2e.py:19-43
+    make_empty_instances). Static-shape analog: score threshold above any
+    possible sigmoid score -> zero valid detections -> the painter must
+    return the plain gray conversion untouched, no box ever colored."""
+    import cv2
+    cfg = DensePoseConfig(rpn_pre_nms_topk=50, rpn_post_nms_topk=20,
+                          num_detections=4, box_score_thresh=1.1)
+    dp = DensePose(cfg=cfg, short_edge=64, max_size=96)
+    img = np.random.RandomState(3).randint(0, 255, (96, 72, 3), np.uint8)
+    out = dp(img)
+    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
+                        cv2.COLOR_GRAY2BGR)[:, :, ::-1]
+    np.testing.assert_array_equal(out, gray)
+
+
 def test_wrapper_contract():
     dp = DensePose(cfg=CFG, short_edge=64, max_size=96)
     img = np.random.RandomState(0).randint(0, 255, (96, 72, 3), np.uint8)

@@ -517,6 +517,24 @@ def test_flash_gemm_mxu_lsum_kill_switch(monkeypatch):
                                    rtol=2e-4, atol=2e-4, err_msg=mode)
 
 
+def test_conv3x3_padacc_matches_xla(monkeypatch):
+    """IDMVTON_CONV_PADACC=1 (full-padded-row GEMMs + shifted-output
+    accumulation) must match XLA exactly like the baseline tap kernel,
+    including multi-row-block grids (h > bh) and bias."""
+    from idmvton_tpu.ops import pallas_conv as PC
+    monkeypatch.setenv("IDMVTON_CONV_PADACC", "1")
+    monkeypatch.setattr(PC, "CONV_ROWS_TARGET", 64)  # force h // bh > 1
+    rng = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (2, 8, 8, 128), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 128, 128), jnp.float32) * 0.05
+    b = jax.random.normal(k3, (128,), jnp.float32)
+    got = PC.conv3x3(x, w, b, rows_target=64)
+    want = PC._conv3_xla(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv3x3_bn0_falls_back_to_xla(monkeypatch):
     """Advisor r2: conv3x3() on a geometry whose VMEM budget fits nothing
     must fall back to XLA, not ZeroDivisionError at trace time."""
