@@ -245,8 +245,11 @@ _FIXED_SHIFT_CLAMP = 60.0
 
 def _mxu_lsum() -> bool:
     # MXU softmax denominator (fixed-shift path only, d < 128): see the
-    # kernel comment. IDMVTON_FLASH_MXU_LSUM=0 restores the VPU row-sum.
-    return os.environ.get("IDMVTON_FLASH_MXU_LSUM", "1") == "1"
+    # kernel comment. IDMVTON_FLASH_MXU_LSUM=1 enables it. Default OFF: the
+    # r3 on-device A/B never completed (relay compile-helper failures), so
+    # the default stays on the r2-MEASURED configuration (VPU row-sum,
+    # 0.2605 img/s) rather than an unmeasured variant.
+    return os.environ.get("IDMVTON_FLASH_MXU_LSUM", "0") == "1"
 
 
 def _fixed_shift() -> bool:
