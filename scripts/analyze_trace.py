@@ -32,8 +32,12 @@ def main():
     ap.add_argument("--n-fwd", type=int, default=2)
     ns = ap.parse_args()
     n_fwd = ns.n_fwd
-    path = ns.trace or sorted(glob.glob(
-        "/tmp/jaxtrace/**/vm.trace.json.gz", recursive=True))[-1]
+    path = ns.trace or "/tmp/jaxtrace"
+    if not path.endswith(".json.gz"):  # a trace dir: find the newest trace in it
+        hits = sorted(glob.glob(f"{path}/**/*.trace.json.gz", recursive=True))
+        if not hits:
+            sys.exit(f"no *.trace.json.gz under {path}")
+        path = hits[-1]
     evs = load_events(path)
     total = sum(e["dur"] for e in evs) / n_fwd
     print(f"{path}: {len(evs)} device events, {total/1e3:.1f} ms/fwd busy")
