@@ -31,8 +31,9 @@ import threading
 import time
 
 BASELINE_IMG_PER_SEC = 0.25  # est. A100-class at this operating point
-# upper bounds ~3x the measured r2 values (encode 0.34 s, decode 0.20 s)
-ENCODE_EST_UB = 1.5
+# per-phase upper bounds ~3x the measured r2 values (vae encode 0.27 s,
+# text 0.05 s + vision 0.29 s, decode 0.20 s)
+ENCODE_EST_UB = {"vae": 0.8, "towers": 1.0, "text": 0.5, "vision": 0.5}
 DECODE_EST_UB = 0.8
 
 
@@ -47,9 +48,10 @@ def _result_from_state(st):
     est = []
     enc = sum(st.get("encode_parts", {}).values())
     if not st.get("encode_all"):
-        missing = {"text", "vision", "vae"} - set(st.get("encode_parts", {}))
-        enc += ENCODE_EST_UB * len(missing) / 3.0
-        est.append(f"encode~{sorted(missing)}")
+        missing = sorted(set(st.get("encode_expected", ["vae", "towers"]))
+                         - set(st.get("encode_parts", {})))
+        enc += sum(ENCODE_EST_UB.get(m, 1.0) for m in missing)
+        est.extend(f"encode:{m}" for m in missing)
     dec = st.get("decode")
     if dec is None:
         dec = DECODE_EST_UB
@@ -61,6 +63,10 @@ def _result_from_state(st):
         "value": round(img_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        # provenance IN the record (a partial value must not be misread as
+        # a clean number): which phases carry upper-bound estimates
+        "partial": bool(est),
+        "estimated_phases": est,
     }
     desc = (f"encode {enc:.2f}s denoise {st['denoise']:.2f}s dec {dec:.2f}s; "
             f"sec/img {total / st['batch']:.2f}"
@@ -153,7 +159,8 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
 T_START = time.time()
 STATE = {
     "encode_parts": {},   # phase name -> measured seconds
-    "encode_all": False,  # all three encode phases measured
+    "encode_expected": ["vae", "towers"],  # phases the estimator backfills
+    "encode_all": False,  # all encode phases measured
     "denoise": None,      # best measured denoise seconds
     "decode": None,
     "batch": None,
@@ -348,8 +355,13 @@ def main():
     }
     sync(cond)
 
-    p_unet = finit(lambda k: init_unet(k, unet_cfg, dtype=dtype), 15)
-    p_garm = finit(lambda k: init_unet(k, garm_cfg, dtype=dtype), 16)
+    # both UNets in ONE fused init program (each separate init is a
+    # full compile job on the serial server-side queue — r3 paid 37-95 s
+    # for the pair; one job halves that overhead)
+    p_unet, p_garm = finit(
+        lambda k: (init_unet(k, unet_cfg, dtype=dtype),
+                   init_unet(jax.random.fold_in(k, 1), garm_cfg,
+                             dtype=dtype)), 15)
 
     guidance = 2.0
 
@@ -458,49 +470,43 @@ def main():
     if not TINY:
         free(p_vae)
 
-    # ---- phase 4: text towers (prompt / negative / cloth batched to 3B)
-    STATE["phase"] = "text"
-    log("phase text")
-    p_l = finit(lambda k: init_clip_text(k, clip_l_cfg, dtype=dtype), 10)
-    p_g = finit(lambda k: init_clip_text(k, clip_g_cfg, dtype=dtype), 11)
+    # ---- phase 4: text + vision towers, ONE init program + ONE jit program
+    # (four separate inits + two compiles cost r3 ~170 s of serial
+    # compile-queue time; the merged phase is ~2 jobs instead of 6 — all
+    # four towers are ~3 GB bf16, fine side-by-side with the UNets freed)
+    STATE["phase"] = "towers"
+    log("phase towers (text + vision)")
+    p_l, p_g, p_v, p_r = finit(
+        lambda k: (init_clip_text(k, clip_l_cfg, dtype=dtype),
+                   init_clip_text(jax.random.fold_in(k, 1), clip_g_cfg,
+                                  dtype=dtype),
+                   init_clip_vision(jax.random.fold_in(k, 2), vision_cfg,
+                                    dtype=dtype),
+                   init_resampler(jax.random.fold_in(k, 3), rs_cfg,
+                                  dtype=dtype)), 10)
 
     @jax.jit
-    def text_fn(pl, pg, ids_l, ids_g):
+    def towers_fn(pl, pg, pv, pr, ids_l, ids_g, px):
         out_l = clip_text_apply(pl, clip_l_cfg, ids_l)
         out_g = clip_text_apply(pg, clip_g_cfg, ids_g)
-        return (jnp.concatenate([out_l["penultimate"], out_g["penultimate"]],
-                                axis=-1), out_g["pooled"])
+        embeds = jnp.concatenate(
+            [out_l["penultimate"], out_g["penultimate"]], axis=-1)
+        vis = clip_vision_apply(pv, vision_cfg, px)
+        ip_tokens = resampler_apply(pr, rs_cfg, vis["penultimate"])
+        return embeds, out_g["pooled"], ip_tokens
 
     ids_l, ids_g = ids(4), ids(4)
-    sync(text_fn(p_l, p_g, ids_l, ids_g))  # compile
-    t0 = time.time()
-    embeds, pooled = text_fn(p_l, p_g, ids_l, ids_g)
-    sync(embeds)
-    STATE["encode_parts"]["text"] = time.time() - t0
-    log(f"  text {STATE['encode_parts']['text']:.2f}s")
-    if not TINY:
-        free((p_l, p_g))
-
-    # ---- phase 5: vision + resampler (uncond zeros + cond batched to 2B)
-    STATE["phase"] = "vision"
-    log("phase vision")
-    p_v = finit(lambda k: init_clip_vision(k, vision_cfg, dtype=dtype), 12)
-    p_r = finit(lambda k: init_resampler(k, rs_cfg, dtype=dtype), 13)
-
-    @jax.jit
-    def vis_fn(pv, pr, px):
-        vis = clip_vision_apply(pv, vision_cfg, px)
-        return resampler_apply(pr, rs_cfg, vis["penultimate"])
-
     px2 = jnp.concatenate([jnp.zeros_like(ip_pixels), ip_pixels], axis=0)
-    sync(vis_fn(p_v, p_r, px2))
+    sync(towers_fn(p_l, p_g, p_v, p_r, ids_l, ids_g, px2))  # compile
     t0 = time.time()
-    ip_tokens = vis_fn(p_v, p_r, px2)
+    embeds, pooled, ip_tokens = towers_fn(p_l, p_g, p_v, p_r, ids_l, ids_g,
+                                          px2)
+    sync(embeds)
     sync(ip_tokens)
-    STATE["encode_parts"]["vision"] = time.time() - t0
-    log(f"  vision {STATE['encode_parts']['vision']:.2f}s")
+    STATE["encode_parts"]["towers"] = time.time() - t0
+    log(f"  towers {STATE['encode_parts']['towers']:.2f}s")
     if not TINY:
-        free((p_v, p_r))
+        free((p_l, p_g, p_v, p_r))
 
     STATE["encode_all"] = True
     STATE["phase"] = "done"

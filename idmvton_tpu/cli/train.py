@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--train_batch_size", type=int, default=6,
                    help="per-device batch (reference: 6, train_xl.sh)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="average gradients over N micro-batches before each "
+                        "optimizer step (reference train_xl.py:265,491)")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=1e-2)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
@@ -98,7 +101,8 @@ def main(argv=None):
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(args.learning_rate, args.weight_decay,
                         max_grad_norm=args.max_grad_norm,
-                        optimizer=args.optimizer)
+                        optimizer=args.optimizer,
+                        accum_steps=args.gradient_accumulation_steps)
     state = init_train_state(models, tx)
     raw_step = make_train_step(models, sched, tx,
                                snr_gamma=args.snr_gamma,

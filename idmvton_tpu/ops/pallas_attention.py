@@ -252,6 +252,11 @@ def _mxu_lsum() -> bool:
     return os.environ.get("IDMVTON_FLASH_MXU_LSUM", "0") == "1"
 
 
+# Set by calibrate_fixed_shift() when a checkpoint's live logits exceed the
+# clamp: forces the exact online-max softmax for the rest of the process.
+_FIXED_SHIFT_FORCED_OFF = False
+
+
 def _fixed_shift() -> bool:
     # Fixed-shift softmax (DEFAULT): skip the online running-max and compute
     # p = exp(min(logits, clamp)) directly. EXACT by softmax shift-invariance
@@ -260,7 +265,32 @@ def _fixed_shift() -> bool:
     # token). Removes the max-reduce/subtract/alpha VPU work per logit:
     # measured 40.5 -> 33.2 ms attention per tryon fwd.
     # Set IDMVTON_FLASH_FIXED_SHIFT=0 for the classical online-max softmax.
+    if _FIXED_SHIFT_FORCED_OFF:
+        return False
     return os.environ.get("IDMVTON_FLASH_FIXED_SHIFT", "1") == "1"
+
+
+def calibrate_fixed_shift(qkv, kv_ref=None, *, tol: float = 5e-3,
+                          **kw) -> dict:
+    """Load-time guard for new/finetuned checkpoints: A/B the fixed-shift
+    softmax against the exact online-max softmax on ONE batch of REAL
+    projected activations. If the max |difference| exceeds `tol` (logits
+    above _FIXED_SHIFT_CLAMP equalize silently — converged SDXL sits in
+    [-30, 30] but a hot finetune might not), force the online-max path for
+    the rest of the process and report it. Returns
+    {"max_error", "fixed_shift"}. Call once per checkpoint bring-up with the
+    to_qkv output of the hottest attention site; kwargs forward to
+    flash_attention_gemm (heads=... required)."""
+    global _FIXED_SHIFT_FORCED_OFF
+    err = fixed_shift_max_error(qkv, kv_ref, **kw)
+    if err > tol:
+        _FIXED_SHIFT_FORCED_OFF = True
+        import logging
+        logging.getLogger(__name__).warning(
+            "fixed-shift softmax miscalibrated for this checkpoint "
+            "(max_error %.3g > tol %.3g): falling back to online-max "
+            "softmax process-wide", err, tol)
+    return {"max_error": err, "fixed_shift": not _FIXED_SHIFT_FORCED_OFF}
 
 
 def fixed_shift_max_error(qkv, kv_ref=None, **kw):
@@ -270,13 +300,17 @@ def fixed_shift_max_error(qkv, kv_ref=None, **kw):
     checkpoint whose logits exceed _FIXED_SHIFT_CLAMP would silently degrade
     under fixed-shift). Kwargs are forwarded to flash_attention_gemm."""
     import numpy as np
+    global _FIXED_SHIFT_FORCED_OFF
     old = os.environ.get("IDMVTON_FLASH_FIXED_SHIFT")
+    old_forced = _FIXED_SHIFT_FORCED_OFF
     try:
+        _FIXED_SHIFT_FORCED_OFF = False  # the A/B must exercise both paths
         os.environ["IDMVTON_FLASH_FIXED_SHIFT"] = "1"
         a = flash_attention_gemm(qkv, kv_ref, **kw)
         os.environ["IDMVTON_FLASH_FIXED_SHIFT"] = "0"
         b = flash_attention_gemm(qkv, kv_ref, **kw)
     finally:
+        _FIXED_SHIFT_FORCED_OFF = old_forced
         if old is None:
             os.environ.pop("IDMVTON_FLASH_FIXED_SHIFT", None)
         else:

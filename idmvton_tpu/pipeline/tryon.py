@@ -96,6 +96,51 @@ class TryonModels:
         return dataclasses.replace(self, **params)
 
 
+def make_time_ids(img_h: int, img_w: int, batch: int, dtype, *,
+                  original_size=None,
+                  crops_coords_top_left=(0, 0),
+                  target_size=None,
+                  negative_original_size=None,
+                  negative_crops_coords_top_left=(0, 0),
+                  negative_target_size=None,
+                  aesthetic_score: float = 6.0,
+                  negative_aesthetic_score: float = 2.5,
+                  requires_aesthetics_score: bool = False):
+    """SDXL micro-conditioning ids, CFG-batched [negative | positive].
+
+    Reference: src/tryon_pipeline.py:1024-1061 (_get_add_time_ids) with the
+    __call__ defaults at :1680-1692 (original/target default to the latent
+    image size; negative_* default to the positive values). Two reference
+    behaviors preserved exactly:
+    - requires_aesthetics_score swaps target_size for an aesthetic score
+      (5 ids instead of 6 — only valid for refiner-style UNets whose
+      add_embedding expects 5 * 256 + pooled);
+    - the NEGATIVE ids reuse the POSITIVE crops_coords_top_left in the
+      non-aesthetic branch (:1044 — negative_crops_coords_top_left only
+      affects the aesthetic branch), quirk and all.
+
+    Returns (2 * batch, 6) (or (2 * batch, 5) with aesthetics)."""
+    original_size = tuple(original_size or (img_h, img_w))
+    target_size = tuple(target_size or (img_h, img_w))
+    negative_original_size = tuple(negative_original_size or original_size)
+    negative_target_size = tuple(negative_target_size or target_size)
+    crops_coords_top_left = tuple(crops_coords_top_left)
+    negative_crops_coords_top_left = tuple(negative_crops_coords_top_left)
+    if requires_aesthetics_score:
+        pos = original_size + crops_coords_top_left + (aesthetic_score,)
+        neg = (negative_original_size + negative_crops_coords_top_left
+               + (negative_aesthetic_score,))
+    else:
+        pos = original_size + crops_coords_top_left + target_size
+        neg = (negative_original_size + crops_coords_top_left
+               + negative_target_size)
+    ids = jnp.concatenate([
+        jnp.tile(jnp.asarray(neg, dtype)[None], (batch, 1)),
+        jnp.tile(jnp.asarray(pos, dtype)[None], (batch, 1)),
+    ], axis=0)
+    return ids
+
+
 def encode_prompt_sdxl(models: TryonModels, params: dict, ids_l, ids_g):
     """SDXL dual text encode: concat penultimate hidden states (768+1280=2048)
     + bigG pooled projection (reference: src/tryon_pipeline.py:609-645)."""
@@ -121,10 +166,22 @@ class TryonPipeline:
                             prompt_ids_l, prompt_ids_g,
                             neg_ids_l, neg_ids_g,
                             cloth_ids_l, cloth_ids_g,
-                            ip_pixels, vae_sample: bool = True) -> dict:
+                            ip_pixels, vae_sample: bool = True,
+                            micro_conditioning: Optional[dict] = None) -> dict:
         """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in
         {0,1} (1 = inpaint region); ip_pixels (B, 224, 224, 3)
         CLIP-normalized. Returns the static conditioning dict for denoise().
+
+        micro_conditioning: optional kwargs for make_time_ids
+        (original_size / crops_coords_top_left / target_size, negative
+        variants, aesthetic scores — reference __call__ kwargs,
+        src/tryon_pipeline.py:1366-1383). Defaults reproduce
+        [h, w, 0, 0, h, w].
+
+        Note on prompt_2 parity (reference encode_prompt :511): the two
+        token-id arguments per prompt (ids_l for CLIP-L, ids_g for bigG)
+        ARE the prompt/prompt_2 seam — tokenize different strings into
+        ids_l vs ids_g to reproduce prompt_2 / negative_prompt_2.
 
         Staging exists so serving can drop encoder weights from HBM before
         the UNet-heavy denoise phase (the whole stack is ~6.7B params —
@@ -169,9 +226,8 @@ class TryonPipeline:
             jnp.concatenate([prompt_embeds, ip_cond], axis=1),
         ], axis=0)
         add_text_embeds = jnp.concatenate([neg_pooled, pooled], axis=0)
-        time_ids = jnp.tile(
-            jnp.asarray([img_h, img_w, 0, 0, img_h, img_w], dtype)[None],
-            (2 * b, 1))
+        time_ids = make_time_ids(img_h, img_w, b, dtype,
+                                 **(micro_conditioning or {}))
         return {
             "context": context,
             "add_text_embeds": add_text_embeds,
@@ -183,7 +239,8 @@ class TryonPipeline:
             "cloth_embeds": cloth_embeds,
         }
 
-    def staged_encoder(self, *, vae_sample: bool = True):
+    def staged_encoder(self, *, vae_sample: bool = True,
+                       micro_conditioning: Optional[dict] = None):
         """Returns encode(params, rng, inputs_dict) -> cond dict, built from
         per-tower jit programs with batched tower calls (3 prompt sets in one
         text-tower pass, cond+uncond in one vision pass, 3 VAE encodes in
@@ -249,9 +306,8 @@ class TryonPipeline:
             return {
                 "context": context,
                 "add_text_embeds": jnp.concatenate([pooled_n, pooled_p], axis=0),
-                "time_ids": jnp.tile(jnp.asarray(
-                    [img_h, img_w, 0, 0, img_h, img_w], dtype)[None],
-                    (2 * b, 1)),
+                "time_ids": make_time_ids(img_h, img_w, b, dtype,
+                                          **(micro_conditioning or {})),
                 "mask_lat": mask_lat,
                 "masked_lat": masked_lat,
                 "pose_lat": pose_lat,
@@ -425,12 +481,15 @@ class TryonPipeline:
                  inpaint_blend: bool = False,
                  init_noise=None, step_noise=None,
                  vae_sample: bool = True,
-                 impl: Optional[str] = None):
+                 impl: Optional[str] = None,
+                 micro_conditioning: Optional[dict] = None):
         """Returns images (B, H, W, 3) in [-1, 1].
 
         init_noise / step_noise: golden-parity noise injection (see denoise).
         vae_sample=False: deterministic (posterior-mode) VAE encodes for
-        golden fixtures.
+        golden fixtures. micro_conditioning: make_time_ids kwargs
+        (original_size / crops / target_size etc., reference
+        src/tryon_pipeline.py:1366-1383).
         """
         m = self.models
         b, img_h, img_w, _ = person.shape
@@ -441,7 +500,8 @@ class TryonPipeline:
             prompt_ids_l=prompt_ids_l, prompt_ids_g=prompt_ids_g,
             neg_ids_l=neg_ids_l, neg_ids_g=neg_ids_g,
             cloth_ids_l=cloth_ids_l, cloth_ids_g=cloth_ids_g,
-            ip_pixels=ip_pixels, vae_sample=vae_sample)
+            ip_pixels=ip_pixels, vae_sample=vae_sample,
+            micro_conditioning=micro_conditioning)
         image_latents = None
         if strength < 1.0 or inpaint_blend:
             # sampled person-image latents (reference _encode_vae_image,
@@ -463,7 +523,8 @@ class TryonPipeline:
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0, strength: float = 1.0,
                      inpaint_blend: bool = False, vae_sample: bool = True,
-                     impl: Optional[str] = None, donate: bool = False):
+                     impl: Optional[str] = None, donate: bool = False,
+                     micro_conditioning: Optional[dict] = None):
         """Returns jitted fn(params, rng, **tensor_kwargs) -> images —
         everything (encoders, 30-step scan, decode) in ONE program.
         Accepts optional init_noise=/step_noise= tensor kwargs (golden
@@ -471,7 +532,8 @@ class TryonPipeline:
         gen = functools.partial(
             self.generate, num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength,
-            inpaint_blend=inpaint_blend, vae_sample=vae_sample, impl=impl)
+            inpaint_blend=inpaint_blend, vae_sample=vae_sample, impl=impl,
+            micro_conditioning=micro_conditioning)
         return jax.jit(gen)
 
     def stepwise_generate(self, *, num_steps: int = 30,
@@ -481,7 +543,8 @@ class TryonPipeline:
                           garment_cache: str = "every_step",
                           inpaint_blend: bool = False,
                           vae_sample: bool = True,
-                          impl: Optional[str] = None):
+                          impl: Optional[str] = None,
+                          micro_conditioning: Optional[dict] = None):
         """Returns fn(params, rng, **tensor_kwargs) -> images built from
         small jitted programs: staged per-tower encode, a python loop over
         the jitted denoise step (donated latents), jitted decode.
@@ -495,7 +558,8 @@ class TryonPipeline:
         """
         m = self.models
         sched = self.scheduler
-        encode = self.staged_encoder(vae_sample=vae_sample)
+        encode = self.staged_encoder(vae_sample=vae_sample,
+                                     micro_conditioning=micro_conditioning)
         step = jax.jit(functools.partial(
             self.denoise_step, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, impl=impl),

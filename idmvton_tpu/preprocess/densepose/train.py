@@ -25,8 +25,11 @@ Reference behavior ported (losses, matching, sampling, normalization):
     x PART_WEIGHTS 1.0; coarse-segm CE (mean) over the full heatmap vs the
     gt mask rasterized into the proposal box x INDEX_WEIGHTS 5.0
     (densepose/config.py:175-187, losses/segm.py:67).
-  - Optimizer: SGD momentum 0.9, BASE_LR 0.01, weight decay 1e-4
-    (detectron2/config/defaults.py SOLVER block, build.py::build_optimizer).
+  - Optimizer: SGD momentum 0.9, BASE_LR 0.01 (the served config,
+    configs/Base-DensePose-RCNN-FPN.yaml:43 — defaults.py has 0.001),
+    weight decay 1e-4 (detectron2/config/defaults.py SOLVER block,
+    build.py::build_optimizer); WEIGHT_DECAY_NORM 0.0 + FrozenBatchNorm
+    buffers + BACKBONE.FREEZE_AT 2 realized via detection_trainable_mask.
 
 TPU-first formulation: everything is static-shape. Dynamic sampled subsets
 become {0,1} weight vectors chosen by masked random-priority ranking (the
@@ -72,9 +75,10 @@ class DetectionTrainConfig:
     # static capacity of foreground proposals routed to the densepose head
     # per image (the reference's dynamic fg subset, bounded)
     n_dp_train: int = 16
-    lr: float = 0.01                      # defaults.py SOLVER.BASE_LR
+    lr: float = 0.01            # configs/Base-DensePose-RCNN-FPN.yaml:43
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    freeze_at: int = 2          # BACKBONE.FREEZE_AT (defaults.py): stem+res2
 
 
 # ---------------------------------------------------------------------------
@@ -329,8 +333,14 @@ def densepose_chart_losses(outs, dp_boxes, dp_valid, gt, matched_gt,
     ce_s = -jnp.take_along_axis(seg_logp, seg_tgt[..., None], axis=-1)[..., 0]
     n_px = jnp.maximum(jnp.sum(dp_valid) * s * s, 1)
     loss_s = jnp.sum(ce_s * dp_valid[:, None, None]) / n_px * tcfg.w_segm
+    # _dp_pts/_dp_px let the batched reducer (detection_total_loss) rebuild
+    # the reference's batch-GLOBAL point/pixel means and point-sum U/V from
+    # these per-image values (chart.py:239-240 reduction="sum"; the CE means
+    # run over the batch-concatenated point/pixel sets, not per image)
     return {"loss_densepose_U": loss_u, "loss_densepose_V": loss_v,
-            "loss_densepose_I": loss_i, "loss_densepose_S": loss_s}
+            "loss_densepose_I": loss_i, "loss_densepose_S": loss_s,
+            "_dp_pts": jnp.sum(j_valid).astype(jnp.float32),
+            "_dp_px": (jnp.sum(dp_valid) * s * s).astype(jnp.float32)}
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +367,7 @@ def detection_loss_fn(params, image, gt, rng,
     Mirrors GeneralizedRCNN.forward training branch
     (detectron2/modeling/meta_arch/rcnn.py:123-169)."""
     img_hw = image.shape[1:3]
-    rng_rpn, rng_roi = jax.random.split(rng)
+    rng_rpn, rng_roi, rng_dp = jax.random.split(rng, 3)
     feats = resnet50_apply(params["backbone"], image)
     ps = fpn_apply(params["fpn"], feats)
 
@@ -415,7 +425,7 @@ def detection_loss_fn(params, image, gt, rng,
     # proposals (roi_head.py::DensePoseROIHeads.forward selects fg)
     dp_idx, dp_valid = _select_topk_mask(
         fg_mask & (sample_w > 0),
-        jax.random.uniform(rng_roi, fg_mask.shape), tcfg.n_dp_train)
+        jax.random.uniform(rng_dp, fg_mask.shape), tcfg.n_dp_train)
     dp_boxes = prop_boxes[dp_idx]
     if cfg.decoder_on:
         dec = _decoder_apply(params, ps, cfg)
@@ -433,25 +443,85 @@ def detection_loss_fn(params, image, gt, rng,
 def detection_total_loss(params, images, gts, rng,
                          cfg: DensePoseConfig = DensePoseConfig(),
                          tcfg: DetectionTrainConfig = DetectionTrainConfig()):
-    """Mean of all losses over a batch: images (B, H, W, 3), gts a dict of
-    stacked per-image gt arrays (leading dim B)."""
+    """Batch reduction with the reference's normalizers: images (B, H, W, 3),
+    gts a dict of stacked per-image gt arrays (leading dim B).
+
+    RPN/box losses are per-image normalized (rpn.py:416-428 divides by
+    256 * num_images; fast_rcnn samples exactly 512/image so the batch mean
+    equals the per-image mean). DensePose losses are NOT per-image
+    normalized in the reference (densepose/modeling/losses/chart.py:239-240):
+    U/V are reduction="sum" over ALL batch points x 0.01, and loss_I/loss_S
+    are CE means over the batch-concatenated point/pixel sets — so U/V sum
+    across images and I/S renormalize by the batch-total counts here."""
     b = images.shape[0]
     rngs = jax.random.split(rng, b)
     per_img = jax.vmap(
         lambda im, g, r: detection_loss_fn(params, im[None], g, r, cfg, tcfg)
     )(images, gts, rngs)
+    n_pts = per_img.pop("_dp_pts")
+    n_px = per_img.pop("_dp_px")
     losses = {k: jnp.mean(v) for k, v in per_img.items()}
+    losses["loss_densepose_U"] = jnp.sum(per_img["loss_densepose_U"])
+    losses["loss_densepose_V"] = jnp.sum(per_img["loss_densepose_V"])
+    # per-image means carry their own counts -> recover sums, renormalize
+    losses["loss_densepose_I"] = (
+        jnp.sum(per_img["loss_densepose_I"] * n_pts)
+        / jnp.maximum(jnp.sum(n_pts), 1.0))
+    losses["loss_densepose_S"] = (
+        jnp.sum(per_img["loss_densepose_S"] * n_px)
+        / jnp.maximum(jnp.sum(n_px), 1.0))
     total = sum(losses.values())
     return total, losses
 
 
-def make_detection_optimizer(tcfg: DetectionTrainConfig =
+def detection_trainable_mask(params,
+                             tcfg: DetectionTrainConfig =
                              DetectionTrainConfig()):
-    """SGD + momentum + weight decay (detectron2 solver/build.py defaults)."""
+    """True for leaves the reference trains. Non-trainable:
+    - backbone stages up to BACKBONE.FREEZE_AT=2, i.e. stem + res2
+      (detectron2/modeling/backbone/resnet.py freeze());
+    - every FrozenBatchNorm scale/bias (non-trainable buffers in
+      detectron2/layers/batch_norm.py::FrozenBatchNorm2d) — which also
+      realizes SOLVER.WEIGHT_DECAY_NORM=0.0, since the backbone frozen BNs
+      are the model's only norm layers."""
+    frozen_stages = {"stem"} | {f"res{i}" for i in range(2, tcfg.freeze_at + 1)}
+
+    def walk(tree, in_backbone, in_frozen_stage, in_bn):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_backbone or k == "backbone",
+                            in_frozen_stage or (in_backbone
+                                                and k in frozen_stages),
+                            in_bn or (in_backbone and k == "bn"))
+                    for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            walked = [walk(v, in_backbone, in_frozen_stage, in_bn)
+                      for v in tree]
+            return type(tree)(walked)
+        return not (in_frozen_stage or in_bn)
+
+    return walk(params, False, False, False)
+
+
+def make_detection_optimizer(tcfg: DetectionTrainConfig =
+                             DetectionTrainConfig(), params=None):
+    """SGD + momentum + weight decay (detectron2 solver/build.py with the
+    served config: BASE_LR 0.01 configs/Base-DensePose-RCNN-FPN.yaml:43).
+    When `params` is given, frozen leaves (detection_trainable_mask) get
+    zero updates and no weight decay — matching FREEZE_AT=2 +
+    FrozenBatchNorm buffers + WEIGHT_DECAY_NORM=0.0. Without `params` the
+    pre-r4 behavior (train + decay everything) is kept for generic use."""
     import optax
-    return optax.chain(
+    inner = optax.chain(
         optax.add_decayed_weights(tcfg.weight_decay),
         optax.sgd(tcfg.lr, momentum=tcfg.momentum),
+    )
+    if params is None:
+        return inner
+    mask = detection_trainable_mask(params, tcfg)
+    inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), inv_mask),
+        optax.masked(inner, mask),
     )
 
 

@@ -44,13 +44,22 @@ class TrainState:
 def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
                    b1: float = 0.9, b2: float = 0.999,
                    max_grad_norm: float = 1.0,
-                   optimizer: str = "adamw") -> optax.GradientTransformation:
+                   optimizer: str = "adamw",
+                   accum_steps: int = 1) -> optax.GradientTransformation:
     """optimizer:
     - "adamw": fp32 moments (reference default, train_xl.py:421).
     - "adamw8bit": int8 block-quantized moments — the reference's
       bitsandbytes --use_8bit_adam analog (train_xl.py:412-420), 4x less
       optimizer-state HBM (train/quant_opt.py).
     - "adafactor": factored second moment (beyond-parity low-memory option).
+
+    accum_steps > 1 enables gradient accumulation (the reference's
+    accelerator.accumulate / --gradient_accumulation_steps,
+    train_xl.py:265,491): gradients of accum_steps micro-batches are
+    averaged, then clip + the update apply ONCE at the boundary — exactly
+    the reference's clip-after-sync ordering. Under ZeRO-1 the accumulator
+    leaves shard over the data axis like the moments (parallel/zero.py maps
+    the whole opt_state tree).
     """
     if optimizer == "adamw8bit":
         from idmvton_tpu.train.quant_opt import adamw_int8
@@ -63,7 +72,10 @@ def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
                             weight_decay=weight_decay)
     else:
         raise ValueError(optimizer)
-    return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def init_train_state(models: TryonModels,
@@ -81,11 +93,13 @@ def init_train_state(models: TryonModels,
 def tryon_loss(trainable: dict, models: TryonModels, scheduler: DDPMScheduler,
                batch: dict, rng, *, snr_gamma: Optional[float] = None,
                compute_dtype=jnp.bfloat16, impl: Optional[str] = None,
-               remat: bool = True):
+               remat: bool = True, vae_sample: bool = True):
     """One training loss evaluation (reference loop body: train_xl.py:598-742).
 
     batch keys: person, mask, pose, cloth (B,H,W,C in [-1,1] / mask {0,1});
-    prompt_ids_l/g, cloth_ids_l/g; ip_pixels.
+    prompt_ids_l/g, cloth_ids_l/g; ip_pixels. Optional "noise" (B,lh,lw,4
+    fp32) and "timesteps" (B, int32) override the in-loss random draws
+    (deterministic tests, e.g. grad-accumulation exactness).
     """
     m = models
     cast = lambda t: jax.tree_util.tree_map(
@@ -104,11 +118,12 @@ def tryon_loss(trainable: dict, models: TryonModels, scheduler: DDPMScheduler,
     rngs = jax.random.split(rng, 6)
 
     # frozen encoders
-    model_input = vae_encode(params["vae"], m.vae_cfg, person, rng=rngs[0])
+    venc = functools.partial(vae_encode, sample=vae_sample)
+    model_input = venc(params["vae"], m.vae_cfg, person, rng=rngs[0])
     masked = person * (mask < 0.5).astype(compute_dtype)
-    masked_lat = vae_encode(params["vae"], m.vae_cfg, masked, rng=rngs[1])
-    pose_lat = vae_encode(params["vae"], m.vae_cfg, pose, rng=rngs[2])
-    cloth_lat = vae_encode(params["vae"], m.vae_cfg, cloth, rng=rngs[3])
+    masked_lat = venc(params["vae"], m.vae_cfg, masked, rng=rngs[1])
+    pose_lat = venc(params["vae"], m.vae_cfg, pose, rng=rngs[2])
+    cloth_lat = venc(params["vae"], m.vae_cfg, cloth, rng=rngs[3])
     lh, lw = model_input.shape[1:3]
     mask_lat = jax.image.resize(mask, (b, lh, lw, 1), "nearest")
 
@@ -124,9 +139,13 @@ def tryon_loss(trainable: dict, models: TryonModels, scheduler: DDPMScheduler,
     context = jnp.concatenate([prompt_embeds, ip_tokens], axis=1)
 
     # noise + uniform timesteps (train_xl.py:619-627)
-    noise = jax.random.normal(rngs[4], model_input.shape, jnp.float32)
-    t = jax.random.randint(rngs[5], (b,), 0,
-                           scheduler.cfg.num_train_timesteps)
+    noise = batch.get("noise")
+    if noise is None:
+        noise = jax.random.normal(rngs[4], model_input.shape, jnp.float32)
+    t = batch.get("timesteps")
+    if t is None:
+        t = jax.random.randint(rngs[5], (b,), 0,
+                               scheduler.cfg.num_train_timesteps)
     noisy = scheduler.add_noise(model_input, noise.astype(compute_dtype), t)
 
     unet_in = jnp.concatenate([noisy, mask_lat, masked_lat, pose_lat], axis=-1)
@@ -175,13 +194,17 @@ def make_train_step(models: TryonModels, scheduler: DDPMScheduler,
                     tx: optax.GradientTransformation, *,
                     snr_gamma: Optional[float] = None,
                     compute_dtype=jnp.bfloat16,
-                    impl: Optional[str] = None, remat: bool = True):
+                    impl: Optional[str] = None, remat: bool = True,
+                    vae_sample: bool = True):
     """Returns jittable fn(state, batch, rng) -> (state, metrics). Under a
-    batch-sharded mesh, XLA emits the psum gradient all-reduce over ICI."""
+    batch-sharded mesh, XLA emits the psum gradient all-reduce over ICI.
+    With a MultiSteps tx (make_optimizer accum_steps>1) each call is a
+    micro-step; params change only at the accumulation boundary."""
 
     loss_fn = functools.partial(
         tryon_loss, models=models, scheduler=scheduler, snr_gamma=snr_gamma,
-        compute_dtype=compute_dtype, impl=impl, remat=remat)
+        compute_dtype=compute_dtype, impl=impl, remat=remat,
+        vae_sample=vae_sample)
 
     def train_step(state: TrainState, batch: dict, rng):
         loss, grads = jax.value_and_grad(

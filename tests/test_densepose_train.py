@@ -200,7 +200,7 @@ def test_detection_train_step_decreases_loss_and_touches_all_heads():
     images = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.1
     gt = jax.tree_util.tree_map(lambda x: x[None], _tiny_gt())
 
-    tx = make_detection_optimizer(tcfg)
+    tx = make_detection_optimizer(tcfg, params)
     step = jax.jit(make_detection_train_step(cfg, tcfg, tx))
     opt_state = tx.init(params)
     rngs = jax.random.split(jax.random.PRNGKey(3), 4)
@@ -217,6 +217,22 @@ def test_detection_train_step_decreases_loss_and_touches_all_heads():
             jax.tree_util.tree_leaves(p0[head]),
             jax.tree_util.tree_leaves(params[head])))
         assert delta > 0, f"no update reached {head}"
+    # ...but the reference's frozen leaves must NOT move: BACKBONE.FREEZE_AT=2
+    # (stem + res2) and every FrozenBatchNorm scale/bias (advisor r3)
+    def max_delta(a_tree, b_tree):
+        return max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+            jax.tree_util.tree_leaves(a_tree),
+            jax.tree_util.tree_leaves(b_tree)))
+
+    assert max_delta(p0["backbone"]["stem"], params["backbone"]["stem"]) == 0
+    assert max_delta(p0["backbone"]["res2"], params["backbone"]["res2"]) == 0
+    for stage in ("res3", "res4", "res5"):
+        for b0, b1 in zip(p0["backbone"][stage], params["backbone"][stage]):
+            for cname, cb in b1.items():
+                assert max_delta(b0[cname]["bn"], cb["bn"]) == 0, \
+                    f"frozen BN moved in {stage}/{cname}"
+                assert max_delta(b0[cname]["conv"], cb["conv"]) > 0, \
+                    f"no update reached {stage}/{cname}/conv"
 
 
 def test_detection_total_loss_batched():

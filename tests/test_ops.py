@@ -581,6 +581,45 @@ def test_fixed_shift_max_error_helper():
     assert err < 1e-3
 
 
+def test_calibrate_fixed_shift_detects_hot_logits_and_falls_back():
+    """VERDICT r3 #4: a checkpoint whose logits exceed the fixed-shift clamp
+    must be DETECTED (not silently degrade) — calibrate_fixed_shift flips
+    the process to the exact online-max softmax."""
+    from idmvton_tpu.ops import pallas_attention as PA
+    b, n, heads, d = 1, 128, 1, 128
+    hd = heads * d
+    # q rows scaled so logits land ABOVE the clamp with DISTINCT magnitudes:
+    # row i of k has magnitude (1 + i/n); logits ~ 16*d*scale*(1+i/n) in
+    # [~181, ~362] — fixed-shift equalizes them, online-max keeps the order.
+    scale_rows = (1.0 + jnp.arange(n, dtype=jnp.float32) / n)[None, :, None]
+    base = 4.0 * jnp.ones((b, n, hd), jnp.float32)
+    qkv = jnp.concatenate(
+        [base, base * scale_rows,
+         jax.random.normal(jax.random.PRNGKey(3), (b, n, hd))], axis=-1)
+
+    # sanity: in-range logits calibrate clean and do NOT flip the default
+    small, kv_small = _gemm_inputs(1, 128, 128, 1, 128, key=5)
+    rep = PA.calibrate_fixed_shift(small, kv_small, heads=1, block_q=128,
+                                   block_kv=128)
+    assert rep["fixed_shift"] and rep["max_error"] < 5e-3
+    assert PA._fixed_shift()
+
+    try:
+        rep = PA.calibrate_fixed_shift(qkv, heads=heads, block_q=128,
+                                       block_kv=128)
+        assert rep["max_error"] > 5e-3
+        assert not rep["fixed_shift"]
+        # the fallback is live: the serving entry now runs online-max and
+        # matches the exact XLA oracle on the hot logits
+        got = PA.flash_attention_gemm(qkv, heads=heads, block_q=128,
+                                      block_kv=128)
+        want = PA._gemm_ref_xla(qkv, None, heads, d ** -0.5, 0, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+    finally:
+        PA._FIXED_SHIFT_FORCED_OFF = False
+
+
 def test_conv3x3_hblock_gradient():
     """Full-size training can route resnet convs through the hblock kernel;
     its custom VJP (XLA recompute) must match direct XLA gradients."""

@@ -142,3 +142,60 @@ def test_stepwise_equals_fused_with_injected_noise():
         init_noise=init_noise, step_noise=step_noise)
     np.testing.assert_allclose(np.asarray(stepwise), np.asarray(fused),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_make_time_ids_reference_formula():
+    """Reproduces _get_add_time_ids (src/tryon_pipeline.py:1024-1061) for
+    non-default crops/sizes, including the reference's quirk of reusing the
+    POSITIVE crops_coords_top_left in the negative ids; defaults unchanged."""
+    from idmvton_tpu.pipeline.tryon import make_time_ids
+
+    # defaults: [h, w, 0, 0, h, w] both halves
+    ids = make_time_ids(1024, 768, 2, jnp.float32)
+    assert ids.shape == (4, 6)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.tile([1024, 768, 0, 0, 1024, 768], (4, 1)))
+
+    # non-default everything (reference __call__ kwargs :1366-1383)
+    ids = make_time_ids(
+        1024, 768, 1, jnp.float32,
+        original_size=(2048, 1536), crops_coords_top_left=(12, 34),
+        target_size=(512, 384),
+        negative_original_size=(100, 200),
+        negative_crops_coords_top_left=(56, 78),
+        negative_target_size=(300, 400))
+    # negative half first (CFG order), with the POSITIVE crop coords (:1044)
+    np.testing.assert_array_equal(np.asarray(ids[0]),
+                                  [100, 200, 12, 34, 300, 400])
+    np.testing.assert_array_equal(np.asarray(ids[1]),
+                                  [2048, 1536, 12, 34, 512, 384])
+
+    # negative_* default to the positive values (:1685-1689)
+    ids = make_time_ids(64, 64, 1, jnp.float32,
+                        original_size=(128, 128), target_size=(32, 32))
+    np.testing.assert_array_equal(np.asarray(ids[0]),
+                                  [128, 128, 0, 0, 32, 32])
+
+    # aesthetic branch (requires_aesthetics_score, :1038-1041): 5 ids,
+    # negative half DOES use its own crop coords here
+    ids = make_time_ids(64, 64, 1, jnp.float32,
+                        crops_coords_top_left=(1, 2),
+                        negative_crops_coords_top_left=(3, 4),
+                        aesthetic_score=6.0, negative_aesthetic_score=2.5,
+                        requires_aesthetics_score=True)
+    assert ids.shape == (2, 5)
+    np.testing.assert_array_equal(np.asarray(ids[0]), [64, 64, 3, 4, 2.5])
+    np.testing.assert_array_equal(np.asarray(ids[1]), [64, 64, 1, 2, 6.0])
+
+
+def test_encode_conditioning_micro_conditioning_plumbs():
+    """encode_conditioning(micro_conditioning=...) reaches the time_ids."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    inputs = _tiny_inputs(1, 64, 64, models)
+    cond = pipe.encode_conditioning(
+        models.params(), jax.random.PRNGKey(1), **inputs,
+        micro_conditioning=dict(original_size=(96, 96),
+                                crops_coords_top_left=(5, 6)))
+    np.testing.assert_array_equal(np.asarray(cond["time_ids"][-1]),
+                                  [96, 96, 5, 6, 64, 64])

@@ -65,6 +65,59 @@ def test_train_step_updates_finite_and_data_parallel_matches():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_gradient_accumulation_matches_full_batch():
+    """Reference parity (--gradient_accumulation_steps, train_xl.py:265,491):
+    accum=2 micro-batches of b=3 must produce the SAME update as one b=6
+    step. Noise/timesteps are injected per-example and the VAE encode runs
+    deterministic so the two decompositions compute identical per-example
+    losses (the in-loss rng draws are batch-shape-dependent)."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    sched = DDPMScheduler(SchedulerConfig.train())
+    lh, lw = 32 // 8, 32 // 8
+
+    full = _batch(6, 32, 32, models, key=3)
+    kn, kt = jax.random.split(jax.random.PRNGKey(9))
+    full["noise"] = jax.random.normal(kn, (6, lh, lw, 4), jnp.float32)
+    full["timesteps"] = jax.random.randint(
+        kt, (6,), 0, sched.cfg.num_train_timesteps)
+    halves = [
+        {k: v[i * 3:(i + 1) * 3] for k, v in full.items()} for i in range(2)
+    ]
+
+    tx_full = make_optimizer(learning_rate=1e-3)
+    tx_acc = make_optimizer(learning_rate=1e-3, accum_steps=2)
+    state_f = init_train_state(models, tx_full)
+    state_a = init_train_state(models, tx_acc)
+    step_f = jax.jit(make_train_step(models, sched, tx_full,
+                                     compute_dtype=DTYPE, remat=False,
+                                     vae_sample=False))
+    step_a = jax.jit(make_train_step(models, sched, tx_acc,
+                                     compute_dtype=DTYPE, remat=False,
+                                     vae_sample=False))
+
+    rng = jax.random.PRNGKey(7)
+    state_f, metrics_f = step_f(state_f, full, rng)
+    state_a, m1 = step_a(state_a, halves[0], rng)
+    # after the first micro-step the params must NOT have moved
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.trainable),
+                    jax.tree_util.tree_leaves(init_train_state(
+                        models, tx_acc).trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state_a, m2 = step_a(state_a, halves[1], rng)
+
+    # micro-losses average to the full-batch loss
+    np.testing.assert_allclose(
+        (float(m1["loss"]) + float(m2["loss"])) / 2.0,
+        float(metrics_f["loss"]), rtol=1e-5)
+    # and the boundary update equals the full-batch update
+    a = np.asarray(state_a.trainable["unet"]["conv_in"]["kernel"])
+    f = np.asarray(state_f.trainable["unet"]["conv_in"]["kernel"])
+    np.testing.assert_allclose(a, f, atol=1e-6)
+    r_a = np.asarray(jax.tree_util.tree_leaves(state_a.trainable["resampler"])[0])
+    r_f = np.asarray(jax.tree_util.tree_leaves(state_f.trainable["resampler"])[0])
+    np.testing.assert_allclose(r_a, r_f, atol=1e-6)
+
+
 def test_adamw8bit_matches_adamw_trajectory():
     """int8-moment AdamW (reference --use_8bit_adam analog,
     train_xl.py:412-420): state is genuinely int8 and the short-horizon
