@@ -342,7 +342,10 @@ def conv3x3_hblock_supported(x, w) -> bool:
     b, h, wdt, cin = x.shape
     cout = w.shape[-1]
     bn = _pick_bn(cout)
-    if cin < _LANE or cout < _LANE or bn <= 0 or wdt < 8:
+    # cin % 128: the kernel DMAs HBM slices of the raw (B, H, W, Cin) input,
+    # and Mosaic requires HBM memref slices 128-aligned along the lane
+    # (channel) dim — cin 320/960 (SDXL UNet levels) fail to compile
+    if cin < _LANE or cin % _LANE != 0 or cout < _LANE or bn <= 0 or wdt < 8:
         return False
     es = jnp.dtype(x.dtype).itemsize     # fp32 inputs are 2x the bf16 budget
     bh = _pick_bh_hblock(h, wdt)

@@ -36,6 +36,39 @@ import os
 import sys
 
 
+def filter_latent_draws(draws, b, lh, lw, steps):
+    """Select the init + per-step latent noise draws from the full capture
+    stream (other randn_tensor calls — e.g. unrelated shapes — are shape-
+    filtered out). Returns (init_noise (B,lh,lw,4), step_noise (T,B,lh,lw,4))
+    in NHWC. Draw order per the reference: prepare_latents first
+    (src/tryon_pipeline.py:889), then one DDPM variance draw per
+    scheduler.step."""
+    import numpy as np
+    lat_draws = [d for d in draws if d.shape == (b, 4, lh, lw)]
+    assert len(lat_draws) == steps + 1, (
+        f"expected 1 init + {steps} step draws, got {len(lat_draws)}")
+    nhwc = lambda x: np.transpose(x, (0, 2, 3, 1))
+    return nhwc(lat_draws[0]), np.stack([nhwc(d) for d in lat_draws[1:]])
+
+
+def write_fixture_dir(out, *, inputs, init_noise, step_noise, images,
+                      num_steps, guidance_scale, seed, diffusers,
+                      ssim_threshold=0.99, dtype="bfloat16"):
+    """Write the IDMVTON_GOLDEN_DIR layout consumed by
+    idmvton_tpu/utils/golden.py::run_golden_gate (images NHWC in [-1, 1]).
+    `dtype` is the compute dtype the gate loads the models in."""
+    import numpy as np
+    os.makedirs(out, exist_ok=True)
+    np.savez(os.path.join(out, "inputs.npz"), **inputs)
+    np.savez(os.path.join(out, "noise.npz"),
+             init_noise=init_noise, step_noise=step_noise)
+    np.savez(os.path.join(out, "expected.npz"), images=np.asarray(images))
+    json.dump({"num_steps": num_steps, "guidance_scale": guidance_scale,
+               "seed": seed, "vae_sample": False, "diffusers": diffusers,
+               "ssim_threshold": ssim_threshold, "dtype": dtype},
+              open(os.path.join(out, "golden_config.json"), "w"), indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref_repo", required=True,
@@ -157,22 +190,16 @@ def main():
     # filtered: latent draws are (B, 4, h, w).
     b = sample["image"].shape[0]
     lh, lw = args.height // 8, args.width // 8
-    lat_draws = [d for d in draws if d.shape == (b, 4, lh, lw)]
-    assert len(lat_draws) == args.steps + 1, (
-        f"expected 1 init + {args.steps} step draws, got {len(lat_draws)}")
+    init_noise, step_noise = filter_latent_draws(draws, b, lh, lw, args.steps)
     nhwc = lambda x: np.transpose(x, (0, 2, 3, 1))
-    init_noise = nhwc(lat_draws[0])
-    step_noise = np.stack([nhwc(d) for d in lat_draws[1:]])
 
-    os.makedirs(args.out, exist_ok=True)
     tok = pipe.tokenizer, pipe.tokenizer_2
 
     def ids(texts, t):
         return t(texts, padding="max_length", max_length=77, truncation=True,
                  return_tensors="np").input_ids.astype(np.int32)
 
-    np.savez(
-        os.path.join(args.out, "inputs.npz"),
+    inputs = dict(
         person=nhwc(sample["image"].numpy()),
         mask=nhwc(sample["inpaint_mask"].numpy()),
         pose=nhwc(sample["pose_img"].numpy()),
@@ -183,16 +210,13 @@ def main():
         cloth_ids_l=ids(["a photo of " + sample["caption_cloth"][0]], tok[0]),
         cloth_ids_g=ids(["a photo of " + sample["caption_cloth"][0]], tok[1]),
     )
-    np.savez(os.path.join(args.out, "noise.npz"),
-             init_noise=init_noise, step_noise=step_noise)
     imgs = np.stack([np.asarray(im, np.float32) / 127.5 - 1.0 for im in images])
-    np.savez(os.path.join(args.out, "expected.npz"), images=imgs)
-    json.dump({"num_steps": args.steps, "guidance_scale": args.guidance_scale,
-               "seed": args.seed, "vae_sample": False, "diffusers": True,
-               "ssim_threshold": 0.99},
-              open(os.path.join(args.out, "golden_config.json"), "w"),
-              indent=2)
-    print(f"wrote fixtures to {args.out} ({len(lat_draws)} latent noise draws)")
+    write_fixture_dir(args.out, inputs=inputs, init_noise=init_noise,
+                      step_noise=step_noise, images=imgs,
+                      num_steps=args.steps,
+                      guidance_scale=args.guidance_scale, seed=args.seed,
+                      diffusers=True)
+    print(f"wrote fixtures to {args.out} ({args.steps + 1} latent noise draws)")
 
 
 if __name__ == "__main__":

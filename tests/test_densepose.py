@@ -68,17 +68,22 @@ def test_extract_iuv():
 
 
 def test_paint_segmentation():
+    """dp_segm reference semantics (FineSegmentationVisualizer defaults,
+    densepose_results.py:319-330 + vis/base.py:35-39): inplace=False ZEROES
+    the canvas — colormapped parts on a BLACK background, alpha 1."""
     img = np.random.RandomState(0).randint(0, 255, (64, 48, 3), np.uint8)
     boxes = np.asarray([[8, 8, 40, 56]], np.float32)
     labels = np.full((1, 112, 112), 12, np.uint8)
     out = paint_segmentation(img, boxes, labels, np.asarray([True]))
     assert out.shape == img.shape
-    # inside the box: colored (differs from gray); outside: gray
     import cv2
-    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
-                        cv2.COLOR_GRAY2RGB)
-    assert np.any(out[20, 20] != gray[20, 20])
-    np.testing.assert_array_equal(out[2, 2], gray[2, 2])
+    # inside the box: exactly the PARULA color of label 12 (alpha = 1)
+    expect = cv2.applyColorMap(
+        np.asarray([[int(12 * 255.0 / 24)]], np.uint8),
+        cv2.COLORMAP_PARULA)[0, 0, ::-1]
+    np.testing.assert_array_equal(out[20, 20], expect)
+    # outside the box: BLACK (the reference's in-place zeroing quirk)
+    np.testing.assert_array_equal(out[2, 2], [0, 0, 0])
 
 
 def test_served_capacity_defaults():
@@ -104,25 +109,37 @@ def test_crowded_scene_capacity_and_painting():
     assert n_valid > 8, n_valid
     assert out["coarse"].shape[0] == 16
 
-    # every valid detection with a nonempty box colors its region
+    # the painter consumes the full static-capacity output; reference
+    # semantics (vis/base.py:35-39): each detection's visualize() re-zeroes
+    # the canvas, so the LAST valid nonempty detection's box is painted on
+    # black — verify that box is colored and the far background is black
     img = np.random.RandomState(1).randint(0, 255, (64, 96, 3), np.uint8)
     labels = np.full((16, 112, 112), 5, np.uint8)
     boxes = np.asarray(out["boxes"])
     valid = np.asarray(out["valid"])
     painted = paint_segmentation(img, boxes, labels, valid)
-    import cv2
-    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
-                        cv2.COLOR_GRAY2RGB)
-    n_painted = 0
+    assert painted.shape == img.shape
+    # replicate the painter's own box math (every valid detection re-zeroes
+    # the canvas; only the LAST one's paint survives, truncated-int coords)
+    from idmvton_tpu.preprocess.densepose.visualize import (
+        _xyxy_to_xywh_clipped,
+    )
+    last = None
     for k in range(16):
         if not valid[k]:
             continue
-        x1, y1, x2, y2 = np.clip(boxes[k].round().astype(int),
-                                 0, [96, 64, 96, 64])
-        if x2 > x1 and y2 > y1:
-            if np.any(painted[y1:y2, x1:x2] != gray[y1:y2, x1:x2]):
-                n_painted += 1
-    assert n_painted > 8, n_painted
+        x, y, w, h = [int(v) for v in _xyxy_to_xywh_clipped(boxes[k], 64, 96)]
+        last = (x, y, w, h)
+    assert last is not None
+    x, y, w, h = last
+    if w > 0 and h > 0:
+        assert np.any(painted[y:y + h, x:x + w] != 0)
+        outside = np.ones((64, 96), bool)
+        outside[y:y + h, x:x + w] = False
+        assert np.all(painted[outside] == 0)
+    else:
+        # degenerate final box: the zeroing still ran -> all black
+        assert np.all(painted == 0)
 
 
 def test_dp_head_chunking_equivalence():
@@ -215,3 +232,108 @@ def test_wrapper_contract():
     img = np.random.RandomState(0).randint(0, 255, (96, 72, 3), np.uint8)
     out = dp(img)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_matrix_visualizer_matches_executed_reference():
+    """Oracle parity: our MatrixVisualizer port vs the EXECUTED reference
+    class (gradio_demo/densepose/vis/base.py) on both inplace modes,
+    including the inplace=False in-place-zeroing quirk and the
+    ignored-interp cv2.resize positional call."""
+    import importlib.util
+    import os
+    ref_path = "/root/reference/gradio_demo/densepose/vis/base.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference tree not available")
+    spec = importlib.util.spec_from_file_location("ref_vis_base", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from idmvton_tpu.preprocess.densepose.visualize import MatrixVisualizer
+
+    rs = np.random.RandomState(5)
+    for inplace, alpha, val_scale in ((False, 1.0, 255.0 / 24),
+                                      (True, 0.7, 1.0)):
+        img_ours = rs.randint(0, 255, (40, 30, 3)).astype(np.uint8)
+        img_ref = img_ours.copy()
+        mask = (rs.rand(12, 12) > 0.4).astype(np.uint8)
+        matrix = rs.randint(0, 25, (12, 12)).astype(np.uint8)
+        bbox = [3.0, 5.0, 20.0, 25.0]
+        ours = MatrixVisualizer(inplace=inplace, alpha=alpha,
+                                val_scale=val_scale).visualize(
+            img_ours, mask.copy(), matrix.copy(), list(bbox))
+        want = ref.MatrixVisualizer(inplace=inplace, alpha=alpha,
+                                    val_scale=val_scale).visualize(
+            img_ref, mask.copy(), matrix.copy(), list(bbox))
+        np.testing.assert_array_equal(ours, want)
+        # the quirk itself: inplace=False zeroed the CALLER's array too
+        np.testing.assert_array_equal(img_ours, img_ref)
+
+
+def test_painter_breadth_dp_u_v_contour_bbox():
+    """apply_net visualizer registry breadth (apply_net.py:203-211):
+    dp_u / dp_v / dp_contour / bbox all paint, with their reference
+    blend modes."""
+    from idmvton_tpu.preprocess.densepose.visualize import (
+        paint_u, paint_v, paint_contour, paint_bbox, VISUALIZERS,
+        dump_results,
+    )
+    import cv2
+    rs = np.random.RandomState(7)
+    img = rs.randint(0, 255, (64, 48, 3)).astype(np.uint8)
+    boxes = np.asarray([[8, 8, 40, 56]], np.float32)
+    labels = np.full((1, 24, 24), 3, np.uint8)
+    uv = np.dstack([np.tile(np.linspace(0, 1, 24), (24, 1)),
+                    np.tile(np.linspace(0, 1, 24)[:, None], (1, 24))])[None]
+    valid = np.asarray([True])
+    scores = np.asarray([0.97])
+    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
+                        cv2.COLOR_GRAY2RGB)
+
+    for painter in (lambda: paint_u(img, boxes, labels, uv, valid),
+                    lambda: paint_v(img, boxes, labels, uv, valid),
+                    lambda: paint_contour(img, boxes, labels, uv, valid)):
+        out = painter()
+        assert out.shape == img.shape
+        # alpha-blend onto GRAY (inplace=True painters): background kept
+        np.testing.assert_array_equal(out[2, 2], gray[2, 2])
+        assert np.any(out[8:56, 8:40] != gray[8:56, 8:40])
+    # dp_u and dp_v differ (different coordinate painted)
+    assert np.any(paint_u(img, boxes, labels, uv, valid)
+                  != paint_v(img, boxes, labels, uv, valid))
+
+    out = paint_bbox(img, boxes, scores, valid)
+    assert np.any(out != gray)  # rectangle + text drawn
+
+    # registry covers the reference's served specs
+    assert {"dp_segm", "dp_u", "dp_v", "dp_contour", "bbox"} <= set(VISUALIZERS)
+
+    # Dump-equivalent structured output keeps only valid rows
+    rec = dump_results("x.jpg", np.zeros((3, 4)), np.asarray([0.9, 0.8, 0.7]),
+                       np.asarray([True, False, True]),
+                       np.zeros((3, 8, 8)), np.zeros((3, 8, 8, 2)))
+    assert rec["file_name"] == "x.jpg"
+    assert rec["scores"].shape == (2,)
+    assert rec["pred_boxes_XYXY"].shape == (2, 4)
+    assert rec["pred_densepose"][0].shape == (2, 8, 8)
+    assert rec["pred_densepose"][1].dtype == np.float32
+
+
+def test_densepose_show_and_dump_actions():
+    """DensePose.show (arbitrary visualizer specs) + DensePose.dump
+    (structured record) — the apply_net Show/Dump action surface on the
+    same R-CNN outputs."""
+    cfg = CFG
+    dp = DensePose(init_densepose_rcnn(jax.random.PRNGKey(0), cfg), cfg,
+                   short_edge=64, max_size=96)
+    img = np.random.RandomState(2).randint(0, 255, (64, 48, 3), np.uint8)
+    outs = dp.show(img, ("dp_segm", "dp_u", "dp_v", "dp_contour", "bbox"))
+    assert set(outs) == {"dp_segm", "dp_u", "dp_v", "dp_contour", "bbox"}
+    for spec, painted in outs.items():
+        assert painted.shape == img.shape, spec
+        assert painted.dtype == np.uint8, spec
+    rec = dp.dump(img, "person.jpg")
+    assert rec["file_name"] == "person.jpg"
+    n = rec["scores"].shape[0]
+    assert rec["pred_boxes_XYXY"].shape == (n, 4)
+    assert rec["pred_densepose"][0].shape[0] == n

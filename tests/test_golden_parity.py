@@ -212,31 +212,82 @@ def test_inpaint_blend_pins_unmasked_region():
 
 @requires_fixtures
 def test_golden_ssim_gate():
+    """The real-weight gate: one command the day fixtures appear."""
+    from idmvton_tpu.utils.golden import run_golden_gate
+
+    report = run_golden_gate(GOLDEN_DIR)
+    assert report["passed"], f"SSIM {report['ssim']} < {report['threshold']}"
+
+
+def test_golden_fixture_round_trip(tmp_path):
+    """End-to-end dry run of the fixture protocol WITHOUT real weights
+    (r3 verdict #10): write a complete IDMVTON_GOLDEN_DIR from a tiny
+    pipeline acting as the 'reference' (orbax models dir + inputs/noise/
+    expected npz + config json via the dump script's write_fixture_dir),
+    then run the actual gate (run_golden_gate) on it — self-consistency
+    must pass at SSIM ~1.0, proving the schema, the checkpoint round-trip,
+    and the noise-injection keys all line up."""
+    import importlib.util
     import jax
     import jax.numpy as jnp
+    from idmvton_tpu.weights.checkpoint import save_pipeline
     from idmvton_tpu.pipeline.tryon import TryonPipeline
-    from idmvton_tpu.weights.checkpoint import load_pipeline, from_diffusers
-    from idmvton_tpu.utils.metrics import ssim
+    from idmvton_tpu.utils.golden import run_golden_gate
 
-    import json
-    cfg_path = os.path.join(GOLDEN_DIR, "golden_config.json")
-    cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
-    models_dir = os.path.join(GOLDEN_DIR, "models")
-    models = (from_diffusers(models_dir) if cfg.get("diffusers")
-              else load_pipeline(models_dir))
-    pipe = TryonPipeline(models)
+    spec = importlib.util.spec_from_file_location(
+        "dump_golden_fixtures", "/root/repo/scripts/dump_golden_fixtures.py")
+    dump = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dump)
 
-    inputs = {k: jnp.asarray(v)
-              for k, v in np.load(os.path.join(GOLDEN_DIR, "inputs.npz")).items()}
-    expected = np.load(os.path.join(GOLDEN_DIR, "expected.npz"))["images"]
-    noise = np.load(os.path.join(GOLDEN_DIR, "noise.npz"))
+    models, pipe, inputs = _tiny_setup()
+    b = inputs["person"].shape[0]
+    lh = inputs["person"].shape[1] // models.vae_cfg.downscale
+    lw = inputs["person"].shape[2] // models.vae_cfg.downscale
+    T = 3
+    kn = jax.random.split(jax.random.PRNGKey(21), 2)
+    init_noise = np.asarray(
+        jax.random.normal(kn[0], (b, lh, lw, 4), jnp.float32))
+    step_noise = np.asarray(
+        jax.random.normal(kn[1], (T, b, lh, lw, 4), jnp.float32))
 
-    fn = pipe.jit_generate(num_steps=cfg.get("num_steps", 30),
-                           guidance_scale=cfg.get("guidance_scale", 2.0),
-                           vae_sample=cfg.get("vae_sample", False))
-    images = fn(models.params(), jax.random.PRNGKey(cfg.get("seed", 42)),
-                **inputs,
-                init_noise=jnp.asarray(noise["init_noise"]),
-                step_noise=jnp.asarray(noise["step_noise"]))
-    s = float(ssim(images, jnp.asarray(expected)))
-    assert s >= cfg.get("ssim_threshold", 0.99), f"SSIM {s}"
+    # "reference" output = this pipeline itself on the injected noises
+    fn = pipe.jit_generate(num_steps=T, vae_sample=False)
+    expected = np.asarray(fn(models.params(), jax.random.PRNGKey(42),
+                             **inputs, init_noise=jnp.asarray(init_noise),
+                             step_noise=jnp.asarray(step_noise)))
+
+    out = str(tmp_path / "golden")
+    dump.write_fixture_dir(
+        out, inputs={k: np.asarray(v) for k, v in inputs.items()},
+        init_noise=init_noise, step_noise=step_noise, images=expected,
+        num_steps=T, guidance_scale=2.0, seed=42, diffusers=False,
+        dtype="float32")
+    save_pipeline(os.path.join(out, "models"), models)
+
+    report = run_golden_gate(out)
+    assert report["passed"], report
+    assert report["ssim"] > 0.999, report
+
+
+def test_dump_latent_draw_filter():
+    """filter_latent_draws picks exactly the init + per-step latent draws
+    out of an interleaved capture stream, in order, NCHW->NHWC."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_golden_fixtures", "/root/repo/scripts/dump_golden_fixtures.py")
+    dump = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dump)
+
+    b, lh, lw, steps = 1, 4, 3, 2
+    rs = np.random.RandomState(0)
+    lat = [rs.rand(b, 4, lh, lw).astype(np.float32) for _ in range(steps + 1)]
+    draws = [rs.rand(2, 16).astype(np.float32), lat[0],
+             rs.rand(b, 4, 77).astype(np.float32), lat[1], lat[2]]
+    init, step = dump.filter_latent_draws(draws, b, lh, lw, steps)
+    np.testing.assert_array_equal(init, np.transpose(lat[0], (0, 2, 3, 1)))
+    assert step.shape == (steps, b, lh, lw, 4)
+    np.testing.assert_array_equal(step[1], np.transpose(lat[2], (0, 2, 3, 1)))
+
+    with pytest.raises(AssertionError):
+        dump.filter_latent_draws(draws[:-1], b, lh, lw, steps)

@@ -184,16 +184,15 @@ def test_from_onnx_positional_fallback(onnx_path, oracle_io):
     _assert_close(_run_mine(params, x), want)
 
 
-def test_parsing_from_onnx_end_to_end(torch_model, tmp_path):
+def test_parsing_from_onnx_end_to_end(onnx_path):
     """Parsing.from_onnx loads the shipped artifact format
     (run_parsing.py:20-22) and produces a palette image + face mask."""
     from idmvton_tpu.preprocess.schp import Parsing
 
-    atr = str(tmp_path / "parsing_atr.onnx")
-    _export_onnx(torch_model, atr, do_constant_folding=True)
-    # reuse the 18-class model for the LIP slot too (shape-compatible: the
-    # wrapper only argmaxes channel 13 of whatever comes out)
-    parser = Parsing.from_onnx(atr, atr)
+    # reuse the module-scoped export for both slots: the 18-class model is
+    # shape-compatible with the LIP slot too (the wrapper only argmaxes
+    # channel 13 of whatever comes out)
+    parser = Parsing.from_onnx(onnx_path, onnx_path)
     img = (np.random.default_rng(8).uniform(0, 255, (96, 64, 3))
            .astype(np.uint8))
     out, face = parser(img)
