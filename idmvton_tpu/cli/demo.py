@@ -25,8 +25,8 @@ _PAGE = """<!doctype html>
 <body style="font-family: sans-serif; max-width: 640px; margin: 2em auto;">
 <h2>idmvton_tpu — virtual try-on</h2>
 <form method="post" action="/tryon" enctype="multipart/form-data">
-  <p>Person photo: <input type="file" name="person" required></p>
-  <p>Garment photo: <input type="file" name="garment" required></p>
+  <p>Person photo: <input type="file" name="person" id="person" required></p>
+  <p>Garment photo: <input type="file" name="garment" id="garment" required></p>
   <p>Mask (white = repaint; used when auto mask is off — the reference's
      hand-drawn mask layer, app.py:156):
      <input type="file" name="mask"></p>
@@ -38,7 +38,27 @@ _PAGE = """<!doctype html>
   <p>Output: <select name="format"><option>html</option><option>json</option>
      <option>png</option></select></p>
   <p><input type="submit" value="Try on"></p>
-</form></body></html>"""
+</form>
+{galleries}
+<script>
+async function pick(kind, name) {{
+  const r = await fetch('/example/' + kind + '/' + name);
+  const blob = await r.blob();
+  const dt = new DataTransfer();
+  dt.items.add(new File([blob], name, {{type: blob.type}}));
+  document.getElementById(kind === 'human' ? 'person' : 'garment')
+          .files = dt.files;
+}}
+</script>
+</body></html>"""
+
+_GALLERY = """<h3>example {title}</h3><p>
+{thumbs}
+</p>"""
+
+_THUMB = ('<img src="/example/{kind}/{name}" width="72" '
+          'style="cursor:pointer;margin:2px" title="{name}" '
+          'onclick="pick(\'{kind}\', \'{name}\')">')
 
 _RESULT_PAGE = """<!doctype html>
 <html><head><title>idmvton_tpu try-on result</title></head>
@@ -82,6 +102,30 @@ class TryonService:
         self.densepose = DensePose()
         self.lock = threading.Lock()
         self._gens = {}
+        self.examples = self._discover_examples(
+            getattr(args, "examples_dir", None))
+
+    @staticmethod
+    def _discover_examples(root) -> dict:
+        """Example galleries (reference app.py:240-310 builds them from
+        gradio_demo/example/{human,cloth}). Expects <root>/human and
+        <root>/cloth (or garment/) image dirs; empty dict when absent."""
+        import os
+        out = {}
+        if not root:
+            return out
+        for kind, names in (("human", ("human",)),
+                            ("cloth", ("cloth", "garment"))):
+            for n in names:
+                d = os.path.join(root, n)
+                if os.path.isdir(d):
+                    files = sorted(
+                        f for f in os.listdir(d)
+                        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+                    if files:
+                        out[kind] = (d, files)
+                    break
+        return out
 
     def _gen(self, steps: int):
         if steps not in self._gens:
@@ -187,10 +231,39 @@ def make_handler(service: TryonService):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            if self.path.startswith("/example/"):
+                return self._serve_example()
+            galleries = "".join(
+                _GALLERY.format(
+                    title="people" if kind == "human" else "garments",
+                    thumbs="".join(_THUMB.format(kind=kind, name=n)
+                                   for n in files))
+                for kind, (_, files) in service.examples.items())
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.end_headers()
-            self.wfile.write(_PAGE.encode())
+            self.wfile.write(_PAGE.format(galleries=galleries).encode())
+
+        def _serve_example(self):
+            import os
+            parts = self.path.split("/")  # ['', 'example', kind, name]
+            if len(parts) != 4 or parts[2] not in service.examples:
+                self.send_response(404)
+                self.end_headers()
+                return
+            d, files = service.examples[parts[2]]
+            name = os.path.basename(parts[3])
+            if name not in files:  # also rejects any path traversal
+                self.send_response(404)
+                self.end_headers()
+                return
+            with open(os.path.join(d, name), "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png"
+                             if name.lower().endswith(".png") else "image/jpeg")
+            self.end_headers()
+            self.wfile.write(data)
 
         def do_POST(self):
             import cgi  # noqa: F401 — stdlib multipart parsing below
@@ -262,6 +335,9 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--pretrained", default=None)
     p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--examples_dir", default=None,
+                   help="dir with human/ and cloth/ example images shown as "
+                        "clickable galleries (reference app.py:240-310)")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
     service = TryonService(args)

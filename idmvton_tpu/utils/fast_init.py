@@ -14,6 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
+# elements per jax.random.normal call: threefry materializes a u32 buffer
+# ~4 bytes/element (observed rounded up to a power-of-two tile), so an
+# unchunked 5.15B-element draw compiles to a 34 GB iota and OOMs 16 GB HBM
+# (measured via bench.py's briefly-merged dual-UNet init); 2^29 caps the
+# intermediate at ~2.1 GB
+_CHUNK = 1 << 29
+
+
 def fast_random_params(key, init_fn, *, std: float = 0.02, dtype=None):
     """init_fn: key -> params (used only via eval_shape). Returns params with
     iid normal(0, std) leaves in each leaf's dtype (or ``dtype`` override)."""
@@ -23,7 +31,15 @@ def fast_random_params(key, init_fn, *, std: float = 0.02, dtype=None):
     total = sum(sizes)
 
     def build(key):
-        flat = jax.random.normal(key, (total,), jnp.bfloat16) * std
+        if total <= _CHUNK:
+            flat = jax.random.normal(key, (total,), jnp.bfloat16) * std
+        else:
+            parts = []
+            for i in range(0, total, _CHUNK):
+                parts.append(jax.random.normal(
+                    jax.random.fold_in(key, i // _CHUNK),
+                    (min(_CHUNK, total - i),), jnp.bfloat16) * std)
+            flat = jnp.concatenate(parts)
         out, off = [], 0
         for leaf, n in zip(leaves, sizes):
             x = flat[off:off + n].reshape(leaf.shape)

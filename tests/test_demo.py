@@ -119,3 +119,61 @@ def test_http_manual_mask_end_to_end():
         assert np.abs(mg[25:40, 15:30].astype(int) - 127).max() <= 1
     finally:
         server.shutdown()
+
+
+def test_examples_galleries(tmp_path):
+    """Example galleries (reference app.py:240-310): the index page lists
+    clickable thumbs and /example/<kind>/<name> serves the image; path
+    traversal and unknown names 404."""
+    from http.server import ThreadingHTTPServer
+    import urllib.request
+    import urllib.error
+
+    for kind, name in (("human", "p1.jpg"), ("cloth", "g1.png")):
+        d = tmp_path / kind
+        d.mkdir()
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / name)
+    svc = TryonService(_args(examples_dir=str(tmp_path)))
+    assert set(svc.examples) == {"human", "cloth"}
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/",
+                                    timeout=60) as resp:
+            page = resp.read().decode()
+        assert "/example/human/p1.jpg" in page
+        assert "/example/cloth/g1.png" in page
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/example/cloth/g1.png",
+                timeout=60) as resp:
+            assert resp.status == 200
+            assert Image.open(io.BytesIO(resp.read())).size == (8, 8)
+        for bad in ("/example/cloth/nope.png", "/example/x/y",
+                    "/example/cloth/..%2F..%2Fetc%2Fpasswd"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{bad}",
+                                       timeout=60)
+                raise AssertionError(f"{bad} did not 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_index_page_without_examples():
+    svc = TryonService(_args())
+    from http.server import ThreadingHTTPServer
+    import urllib.request
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/",
+                                    timeout=60) as resp:
+            page = resp.read().decode()
+        assert "virtual try-on" in page
+        assert "example" not in page.split("<script>")[0].split("</form>")[1]
+    finally:
+        server.shutdown()
