@@ -9,6 +9,7 @@ import json
 import threading
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from idmvton_tpu.cli.demo import TryonService, make_handler
@@ -21,6 +22,15 @@ def _args(**kw):
     return argparse.Namespace(**d)
 
 
+@pytest.fixture(scope="module")
+def svc():
+    """ONE shared TryonService for the whole module: construction + the
+    steps=2 pipeline compile dominate each test's wall time (~100 s each on
+    this host); the HTTP/branch logic under test is stateless apart from the
+    _gens compile cache, which sharing exercises too."""
+    return TryonService(_args())
+
+
 def _imgs(seed=0, size=(96, 128)):
     rng = np.random.RandomState(seed)
     w, h = size
@@ -29,8 +39,7 @@ def _imgs(seed=0, size=(96, 128)):
     return person, garment
 
 
-def test_tryon_service_end_to_end():
-    svc = TryonService(_args())
+def test_tryon_service_end_to_end(svc):
     person, garment = _imgs()
     out, mask_gray = svc.tryon(person, garment, "shirt", auto_mask=True,
                                steps=2)
@@ -38,8 +47,7 @@ def test_tryon_service_end_to_end():
     assert mask_gray.size == (48, 64)
 
 
-def test_tryon_manual_mask_branch():
-    svc = TryonService(_args())
+def test_tryon_manual_mask_branch(svc):
     person, garment = _imgs(1)
     # hand-drawn layer: white blob on black (pil_to_binary_mask threshold 0)
     layer = np.zeros((128, 96, 3), np.uint8)
@@ -65,13 +73,12 @@ def test_auto_crop_3_4():
     assert crop.size == (750, 1000)
 
 
-def test_http_manual_mask_end_to_end():
+def test_http_manual_mask_end_to_end(svc):
     """Full HTTP round trip through the stdlib server: multipart POST with a
     mask file, JSON response carrying result + masked preview."""
     from http.server import ThreadingHTTPServer
     import urllib.request
 
-    svc = TryonService(_args())
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -121,7 +128,7 @@ def test_http_manual_mask_end_to_end():
         server.shutdown()
 
 
-def test_examples_galleries(tmp_path):
+def test_examples_galleries(tmp_path, svc):
     """Example galleries (reference app.py:240-310): the index page lists
     clickable thumbs and /example/<kind>/<name> serves the image; path
     traversal and unknown names 404."""
@@ -133,8 +140,12 @@ def test_examples_galleries(tmp_path):
         d = tmp_path / kind
         d.mkdir()
         Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / name)
-    svc = TryonService(_args(examples_dir=str(tmp_path)))
-    assert set(svc.examples) == {"human", "cloth"}
+    # discovery logic under test; graft onto the shared service (restored
+    # below) instead of paying a second full model build
+    discovered = TryonService._discover_examples(str(tmp_path))
+    assert set(discovered) == {"human", "cloth"}
+    old_examples = svc.examples
+    svc.examples = discovered
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
     port = server.server_address[1]
@@ -159,11 +170,12 @@ def test_examples_galleries(tmp_path):
             except urllib.error.HTTPError as e:
                 assert e.code == 404
     finally:
+        svc.examples = old_examples
         server.shutdown()
 
 
-def test_index_page_without_examples():
-    svc = TryonService(_args())
+def test_index_page_without_examples(svc):
+    assert svc.examples == {}
     from http.server import ThreadingHTTPServer
     import urllib.request
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
