@@ -463,9 +463,10 @@ def main():
     # min of 2 timed reps for every small phase: a single rep is exposed to
     # relay-contention spikes (r4: a one-shot towers rep read 1.05 s vs the
     # 0.34 s clean measurement while leftover compile jobs drained). Inputs
-    # vary per rep so no dispatch can be deduped against a previous one.
-    lat2 = jnp.roll(lat, 1, axis=0)
-    sync(decode_fn(p_vae, lat))
+    # vary per rep AND vs the warmup (rolled along latent H, so they differ
+    # even at batch 1) so no dispatch can be deduped against a previous one.
+    lat2 = jnp.roll(lat, 1, axis=1)
+    sync(decode_fn(p_vae, jnp.roll(lat, 2, axis=1)))  # warmup, 3rd input
     img = None
     best = None
     for l in (lat, lat2):

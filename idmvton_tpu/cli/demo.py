@@ -13,9 +13,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import html
 import io
 import json
 import threading
+import urllib.parse
 
 import numpy as np
 from PIL import Image
@@ -41,11 +43,13 @@ _PAGE = """<!doctype html>
 </form>
 {galleries}
 <script>
-async function pick(kind, name) {{
-  const r = await fetch('/example/' + kind + '/' + name);
+async function pick(kind, enc) {{
+  // enc is the percent-encoded filename straight from the thumb URL
+  const r = await fetch('/example/' + kind + '/' + enc);
   const blob = await r.blob();
   const dt = new DataTransfer();
-  dt.items.add(new File([blob], name, {{type: blob.type}}));
+  dt.items.add(new File([blob], decodeURIComponent(enc),
+                        {{type: blob.type}}));
   document.getElementById(kind === 'human' ? 'person' : 'garment')
           .files = dt.files;
 }}
@@ -56,9 +60,12 @@ _GALLERY = """<h3>example {title}</h3><p>
 {thumbs}
 </p>"""
 
-_THUMB = ('<img src="/example/{kind}/{name}" width="72" '
-          'style="cursor:pointer;margin:2px" title="{name}" '
-          'onclick="pick(\'{kind}\', \'{name}\')">')
+# {enc} = urllib.parse.quote(name, safe="") — quoting covers spaces/%/#/
+# non-ASCII in the URL and leaves only [A-Za-z0-9_.~%-], which is also safe
+# inside the single-quoted onclick JS string
+_THUMB = ('<img src="/example/{kind}/{enc}" width="72" '
+          'style="cursor:pointer;margin:2px" title="{title}" '
+          'onclick="pick(\'{kind}\', \'{enc}\')">')
 
 _RESULT_PAGE = """<!doctype html>
 <html><head><title>idmvton_tpu try-on result</title></head>
@@ -124,7 +131,8 @@ class TryonService:
                         if f.lower().endswith((".jpg", ".jpeg", ".png")))
                     if files:
                         out[kind] = (d, files)
-                    break
+                        break  # an empty cloth/ still falls through to
+                               # garment/ — only a populated dir settles it
         return out
 
     def _gen(self, steps: int):
@@ -236,8 +244,11 @@ def make_handler(service: TryonService):
             galleries = "".join(
                 _GALLERY.format(
                     title="people" if kind == "human" else "garments",
-                    thumbs="".join(_THUMB.format(kind=kind, name=n)
-                                   for n in files))
+                    thumbs="".join(
+                        _THUMB.format(kind=kind,
+                                      enc=urllib.parse.quote(n, safe=""),
+                                      title=html.escape(n, quote=True))
+                        for n in files))
                 for kind, (_, files) in service.examples.items())
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -246,13 +257,15 @@ def make_handler(service: TryonService):
 
         def _serve_example(self):
             import os
-            parts = self.path.split("/")  # ['', 'example', kind, name]
+            parts = self.path.split("/")  # ['', 'example', kind, enc-name]
             if len(parts) != 4 or parts[2] not in service.examples:
                 self.send_response(404)
                 self.end_headers()
                 return
             d, files = service.examples[parts[2]]
-            name = os.path.basename(parts[3])
+            # browsers request the percent-encoded thumb URL; decode before
+            # matching against the on-disk names
+            name = os.path.basename(urllib.parse.unquote(parts[3]))
             if name not in files:  # also rejects any path traversal
                 self.send_response(404)
                 self.end_headers()

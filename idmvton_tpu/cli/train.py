@@ -194,7 +194,13 @@ def main(argv=None):
         print(f"eval images -> {args.output_dir}/{gstep}_*_test.jpg")
 
     rng = jax.random.PRNGKey(args.seed)
-    gstep = int(state.step)
+    # state.step counts MICRO-steps (one per train_step call); the logging /
+    # eval / checkpoint cadence and max_steps count OPTIMIZER steps like the
+    # reference's global_step, which advances once per accumulation boundary
+    # (train_xl.py:744-747 under accelerator.accumulate sync)
+    accum = max(1, args.gradient_accumulation_steps)
+    micro = int(state.step)
+    gstep = micro // accum
     t0 = time.time()
     for epoch in range(args.num_train_epochs):
         for batch in loader:
@@ -217,10 +223,14 @@ def main(argv=None):
             jb = shard_batch(jb, mesh)
             rng, srng = jax.random.split(rng)
             state, metrics = step_fn(state, jb, srng)
-            gstep += 1
+            micro += 1
+            if micro % accum:
+                continue  # mid-accumulation: params unchanged, no cadence
+            gstep = micro // accum
             if gstep % args.logging_steps == 0:
                 loss = float(metrics["loss"])
-                ips = global_batch * args.logging_steps / (time.time() - t0)
+                ips = (global_batch * accum * args.logging_steps
+                       / (time.time() - t0))
                 t0 = time.time()
                 print(f"epoch {epoch} step {gstep}: loss {loss:.4f} "
                       f"grad_norm {float(metrics['grad_norm']):.3f} "

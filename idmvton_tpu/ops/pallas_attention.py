@@ -280,7 +280,14 @@ def calibrate_fixed_shift(qkv, kv_ref=None, *, tol: float = 5e-3,
     the rest of the process and report it. Returns
     {"max_error", "fixed_shift"}. Call once per checkpoint bring-up with the
     to_qkv output of the hottest attention site; kwargs forward to
-    flash_attention_gemm (heads=... required)."""
+    flash_attention_gemm (heads=... required).
+
+    MUST run BEFORE the first pipeline/serving program is jitted for the
+    checkpoint: _fixed_shift() is read at trace time, so programs compiled
+    earlier keep whichever path was active when they were traced — flipping
+    the flag afterward does not retrofit cached executables. A clean
+    calibration (err <= tol) RESETS a previous force-off, so switching back
+    to a well-behaved checkpoint restores the fast path."""
     global _FIXED_SHIFT_FORCED_OFF
     err = fixed_shift_max_error(qkv, kv_ref, **kw)
     if err > tol:
@@ -290,6 +297,8 @@ def calibrate_fixed_shift(qkv, kv_ref=None, *, tol: float = 5e-3,
             "fixed-shift softmax miscalibrated for this checkpoint "
             "(max_error %.3g > tol %.3g): falling back to online-max "
             "softmax process-wide", err, tol)
+    else:
+        _FIXED_SHIFT_FORCED_OFF = False
     return {"max_error": err, "fixed_shift": not _FIXED_SHIFT_FORCED_OFF}
 
 

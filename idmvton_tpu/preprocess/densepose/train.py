@@ -484,7 +484,10 @@ def detection_trainable_mask(params,
       detectron2/layers/batch_norm.py::FrozenBatchNorm2d) — which also
       realizes SOLVER.WEIGHT_DECAY_NORM=0.0, since the backbone frozen BNs
       are the model's only norm layers."""
-    frozen_stages = {"stem"} | {f"res{i}" for i in range(2, tcfg.freeze_at + 1)}
+    # detectron2 resnet.py freeze(): FREEZE_AT=0 freezes nothing, >=1 the
+    # stem, >=2 additionally res2..res{freeze_at}
+    frozen_stages = ({"stem"} if tcfg.freeze_at >= 1 else set()) \
+        | {f"res{i}" for i in range(2, tcfg.freeze_at + 1)}
 
     def walk(tree, in_backbone, in_frozen_stage, in_bn):
         if isinstance(tree, dict):

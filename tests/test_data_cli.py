@@ -212,3 +212,21 @@ def test_train_cli_tiny_zero1(tmp_path):
           "--max_steps", "1", "--checkpointing_steps", "1",
           "--logging_steps", "1", "--zero1"])
     assert os.path.isdir(os.path.join(out, "step_1"))
+
+
+def test_train_cli_accum_counts_optimizer_steps(tmp_path):
+    """--gradient_accumulation_steps: max_steps and the checkpoint cadence
+    count OPTIMIZER steps like the reference's global_step (advances once
+    per accumulation boundary, train_xl.py:744-747), not micro-steps —
+    accum=2 with max_steps=1 runs TWO micro-batches then stops at step_1."""
+    root = str(tmp_path / "va")
+    make_viton_tree(root, n=8, phase="train", size=(32, 32))
+    out = str(tmp_path / "outa")
+    from idmvton_tpu.cli.train import main
+    main(["--data_dir", root, "--output_dir", out, "--tiny",
+          "--width", "32", "--height", "32", "--train_batch_size", "1",
+          "--gradient_accumulation_steps", "2",
+          "--max_steps", "1", "--checkpointing_steps", "1",
+          "--logging_steps", "1"])
+    assert os.path.isdir(os.path.join(out, "step_1")), os.listdir(out)
+    assert not os.path.isdir(os.path.join(out, "step_2"))

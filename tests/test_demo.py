@@ -136,31 +136,38 @@ def test_examples_galleries(tmp_path, svc):
     import urllib.request
     import urllib.error
 
-    for kind, name in (("human", "p1.jpg"), ("cloth", "g1.png")):
+    for kind, name in (("human", "p1.jpg"), ("cloth", "g1.png"),
+                       ("cloth", "blue shirt.png")):
         d = tmp_path / kind
-        d.mkdir()
+        d.mkdir(exist_ok=True)
         Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / name)
     # discovery logic under test; graft onto the shared service (restored
     # below) instead of paying a second full model build
     discovered = TryonService._discover_examples(str(tmp_path))
     assert set(discovered) == {"human", "cloth"}
-    old_examples = svc.examples
-    svc.examples = discovered
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
+    old_examples = svc.examples
     try:
+        svc.examples = discovered
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/",
                                     timeout=60) as resp:
             page = resp.read().decode()
         assert "/example/human/p1.jpg" in page
         assert "/example/cloth/g1.png" in page
-        with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/example/cloth/g1.png",
-                timeout=60) as resp:
-            assert resp.status == 200
-            assert Image.open(io.BytesIO(resp.read())).size == (8, 8)
+        # names with spaces render percent-encoded (raw would 404 in the
+        # browser) and serve through the encoded URL
+        assert "/example/cloth/blue%20shirt.png" in page
+        assert "blue shirt.png" not in page.split("<script>")[0].replace(
+            'title="blue shirt.png"', "")
+        for url in ("/example/cloth/g1.png",
+                    "/example/cloth/blue%20shirt.png"):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{url}",
+                                        timeout=60) as resp:
+                assert resp.status == 200
+                assert Image.open(io.BytesIO(resp.read())).size == (8, 8)
         for bad in ("/example/cloth/nope.png", "/example/x/y",
                     "/example/cloth/..%2F..%2Fetc%2Fpasswd"):
             try:
@@ -172,6 +179,17 @@ def test_examples_galleries(tmp_path, svc):
     finally:
         svc.examples = old_examples
         server.shutdown()
+
+
+def test_discover_examples_garment_fallback(tmp_path):
+    """An existing-but-imageless cloth/ must fall through to garment/
+    (the documented alternative dir name), not settle the search."""
+    (tmp_path / "cloth").mkdir()          # empty
+    g = tmp_path / "garment"
+    g.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(g / "x.jpg")
+    out = TryonService._discover_examples(str(tmp_path))
+    assert out["cloth"] == (str(g), ["x.jpg"])
 
 
 def test_index_page_without_examples(svc):

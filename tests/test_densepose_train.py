@@ -248,3 +248,41 @@ def test_detection_total_loss_batched():
                            "loss_box_reg", "loss_densepose_U",
                            "loss_densepose_V", "loss_densepose_I",
                            "loss_densepose_S"}
+
+
+def test_trainable_mask_freeze_at_semantics():
+    """detectron2 resnet.py freeze() (reference resnet.py:468-489):
+    FREEZE_AT=0 freezes NOTHING (stem included), 1 freezes the stem, 2
+    additionally res2. FrozenBatchNorm affines are non-trainable buffers at
+    every setting."""
+    from idmvton_tpu.preprocess.densepose.train import detection_trainable_mask
+
+    params = init_densepose_rcnn(jax.random.PRNGKey(0), CFG)
+    leaves = lambda t: jax.tree_util.tree_leaves(t)
+
+    m0 = detection_trainable_mask(params, DetectionTrainConfig(freeze_at=0))
+    assert any(leaves(m0["backbone"]["stem"])), "freeze_at=0 must train stem"
+    assert any(leaves(m0["backbone"]["res2"]))
+
+    m1 = detection_trainable_mask(params, DetectionTrainConfig(freeze_at=1))
+    assert not any(leaves(m1["backbone"]["stem"]))
+    assert any(leaves(m1["backbone"]["res2"]))
+
+    m2 = detection_trainable_mask(params, DetectionTrainConfig(freeze_at=2))
+    assert not any(leaves(m2["backbone"]["stem"]))
+    assert not any(leaves(m2["backbone"]["res2"]))
+
+    # BN affines frozen regardless — walk every backbone 'bn' subtree
+    def bn_all_false(tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == "bn":
+                    assert not any(leaves(v)), "BN affine marked trainable"
+                else:
+                    bn_all_false(v)
+        elif isinstance(tree, (list, tuple)):
+            for v in tree:
+                bn_all_false(v)
+
+    for m in (m0, m1, m2):
+        bn_all_false(m["backbone"])

@@ -616,6 +616,11 @@ def test_calibrate_fixed_shift_detects_hot_logits_and_falls_back():
         want = PA._gemm_ref_xla(qkv, None, heads, d ** -0.5, 0, 0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=2e-3)
+        # switching back to a well-behaved checkpoint RESETS the force-off
+        # (the flag must not be sticky for the process lifetime)
+        rep = PA.calibrate_fixed_shift(small, kv_small, heads=1, block_q=128,
+                                       block_kv=128)
+        assert rep["fixed_shift"] and PA._fixed_shift()
     finally:
         PA._FIXED_SHIFT_FORCED_OFF = False
 
