@@ -299,22 +299,19 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     wd = _spawn_watchdog()
 
-    # pre-flight: one trivial compile — its latency is a direct read on the
-    # server-side compile queue (a clear queue answers in seconds; the r2
-    # driver run stalled >20 min on the first real compile, and a wedged
-    # relay can hang even jax.devices() indefinitely — observed r3)
-    STATE["phase"] = "preflight"
-    t0 = time.time()
-    float(jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.float32))[0])
-    pf = time.time() - t0
-    log(f"preflight compile {pf:.1f}s" +
-        ("  ** QUEUE BACKLOG SUSPECTED **" if pf > 60 else ""))
+    # NO dedicated preflight compile: it is purely diagnostic and costs one
+    # extra SERIAL compile-queue job — measured 2.5 s on a clean queue but
+    # 65-393 s of pure budget loss in exactly the dirty-queue runs where the
+    # budget matters (r4). The first init's wall time below is the queue
+    # health read instead (healthy: ~20-35 s for a UNet init).
 
     def finit(fn, seed):
         t0 = time.time()
         p = fast_random_params(jax.random.PRNGKey(seed), fn)
         sync(p)
-        log(f"  init {time.time() - t0:.1f}s")
+        dt = time.time() - t0
+        log(f"  init {dt:.1f}s" +
+            ("  ** QUEUE BACKLOG SUSPECTED **" if dt > 120 else ""))
         return p
 
     ks = jax.random.split(jax.random.PRNGKey(1), 9)
