@@ -96,3 +96,18 @@ def test_dresscode_dataset(tmp_path):
     assert s["caption"] == "model is wearing a a red shirt"
     assert s["ip_pixels"].shape == (224, 224, 3)
     assert 0.0 < s["mask"].mean() < 1.0
+
+
+def test_infer_dc_delegates_with_dresscode_dataset(monkeypatch):
+    """cli/infer_dc.py is the reference's separate inference_dc.py entry
+    point — it must forward user args to cli/infer.py with the dresscode
+    dataset pre-selected."""
+    from idmvton_tpu.cli import infer_dc
+
+    captured = {}
+    monkeypatch.setattr(infer_dc, "_main",
+                        lambda argv: captured.setdefault("argv", argv))
+    infer_dc.main(["--data_dir", "/d", "--category", "lower_body"])
+    assert captured["argv"][:2] == ["--dataset", "dresscode"]
+    assert captured["argv"][2:] == ["--data_dir", "/d",
+                                    "--category", "lower_body"]
