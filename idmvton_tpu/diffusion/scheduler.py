@@ -76,10 +76,21 @@ class DDPMScheduler:
 
     # -------------------------------------------------------------- inference
 
-    def timesteps(self, num_inference_steps: int, strength: float = 1.0):
+    def timesteps(self, num_inference_steps: int, strength: float = 1.0,
+                  denoising_start: float = None,
+                  denoising_end: float = None):
         """Discrete timesteps for the denoise loop (descending), with the
         reference's strength-based truncation (tryon_pipeline.py:987
-        get_timesteps: keeps the last num_steps*strength steps)."""
+        get_timesteps: keeps the last num_steps*strength steps).
+
+        denoising_start: refiner-handoff head trim (tryon_pipeline.py:999-
+        1011): strength is IGNORED and the schedule keeps only timesteps
+        strictly below round(T - start*T) — the caller supplies already
+        partially-denoised latents and no noise is added.
+        denoising_end: tail trim (tryon_pipeline.py:1743-1752): keep only
+        timesteps >= round(T - end*T); the remaining tail is left for a
+        successor pipeline with denoising_start = this denoising_end.
+        """
         n = self.cfg.num_train_timesteps
         if self.cfg.timestep_spacing == "leading":
             ratio = n // num_inference_steps
@@ -91,10 +102,38 @@ class DDPMScheduler:
         else:  # linspace
             ts = np.linspace(0, n - 1, num_inference_steps)[::-1].round()
         ts = ts.astype(np.int32)
-        if strength < 1.0:
+        if denoising_start is not None:
+            # strength irrelevant when a start point is requested directly
+            # (reference comment at tryon_pipeline.py:997-998)
+            cutoff = int(round(n - denoising_start * n))
+            ts = ts[ts < cutoff]
+        elif strength < 1.0:
             init_t = min(int(num_inference_steps * strength), num_inference_steps)
             ts = ts[num_inference_steps - init_t:]
+        if denoising_end is not None and 0.0 < denoising_end < 1.0:
+            cutoff = int(round(n - denoising_end * n))
+            ts = ts[ts >= cutoff]
         return jnp.asarray(ts.copy())
+
+    def timesteps_and_prev(self, num_inference_steps: int,
+                           strength: float = 1.0,
+                           denoising_start: float = None,
+                           denoising_end: float = None):
+        """(ts, prev_ts) with the denoising_end trim applied AFTER deriving
+        prev from the untrimmed tail: diffusers' DDPM step computes
+        prev_t = t - T//num_steps from num_inference_steps alone, so a
+        denoising_end-trimmed run's FINAL step still steps toward the next
+        timestep of the full schedule (where the successor pipeline resumes),
+        not to -1. Chaining end=x then start=x is bit-exact to the unsplit
+        run (tests/test_pipeline.py)."""
+        full = self.timesteps(num_inference_steps, strength, denoising_start)
+        prev = self.prev_timesteps(full, num_inference_steps)
+        if denoising_end is not None and 0.0 < denoising_end < 1.0:
+            n = self.cfg.num_train_timesteps
+            cutoff = int(round(n - denoising_end * n))
+            keep = int(np.sum(np.asarray(full) >= cutoff))
+            full, prev = full[:keep], prev[:keep]
+        return full, prev
 
     def prev_timesteps(self, timesteps, num_inference_steps: int = None):
         """Previous timestep for each entry of ``timesteps``.

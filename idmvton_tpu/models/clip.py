@@ -98,18 +98,28 @@ def init_clip_text(key, cfg: CLIPTextConfig, dtype=jnp.bfloat16):
     return p
 
 
-def clip_text_apply(params, cfg: CLIPTextConfig, input_ids):
+def clip_text_apply(params, cfg: CLIPTextConfig, input_ids, *,
+                    clip_skip: int = None):
     """input_ids: (B, 77) int32. Returns dict with:
     - penultimate: hidden_states[-2] (B, 77, hidden) — what SDXL consumes
     - pooled: eos-token pooled projection (B, projection_dim) if configured
+
+    clip_skip=k selects hidden_states[-(k+2)] instead (k extra final layers
+    skipped), matching the reference encode_prompt's clip_skip branch
+    (src/tryon_pipeline.py:637-641); None/0 is the default penultimate.
+    Pooled output is unaffected (it always comes off the full tower).
     """
+    skip = clip_skip or 0
+    if not 0 <= skip < cfg.num_layers:
+        raise ValueError(f"clip_skip={clip_skip} out of range for "
+                         f"{cfg.num_layers}-layer tower")
     act = ACTIVATIONS[cfg.hidden_act]
     x = embedding_lookup(params["token_embedding"], input_ids)
     pos = params["position_embedding"]["embedding"][: input_ids.shape[1]]
     x = x + pos[None].astype(x.dtype)
     penultimate = None
     for i, lyr in enumerate(params["layers"]):
-        if i == cfg.num_layers - 1:
+        if i == cfg.num_layers - 1 - skip:
             penultimate = x
         x = _encoder_layer(lyr, x, num_heads=cfg.num_heads, act=act, causal=True)
     last = layer_norm(params["final_ln"], x)

@@ -141,14 +141,39 @@ def make_time_ids(img_h: int, img_w: int, batch: int, dtype, *,
     return ids
 
 
-def encode_prompt_sdxl(models: TryonModels, params: dict, ids_l, ids_g):
+def encode_prompt_sdxl(models: TryonModels, params: dict, ids_l, ids_g, *,
+                       clip_skip: int = None):
     """SDXL dual text encode: concat penultimate hidden states (768+1280=2048)
-    + bigG pooled projection (reference: src/tryon_pipeline.py:609-645)."""
-    out_l = clip_text_apply(params["clip_l"], models.clip_l_cfg, ids_l)
-    out_g = clip_text_apply(params["clip_g"], models.clip_g_cfg, ids_g)
+    + bigG pooled projection (reference: src/tryon_pipeline.py:609-645).
+    clip_skip applies to BOTH towers' hidden-state pick, as in the
+    reference's per-tower loop (:637-641); pooled is unaffected."""
+    out_l = clip_text_apply(params["clip_l"], models.clip_l_cfg, ids_l,
+                            clip_skip=clip_skip)
+    out_g = clip_text_apply(params["clip_g"], models.clip_g_cfg, ids_g,
+                            clip_skip=clip_skip)
     embeds = jnp.concatenate([out_l["penultimate"], out_g["penultimate"]],
                              axis=-1)
     return embeds, out_g["pooled"]
+
+
+def replicate_cond(cond: dict, n: int) -> dict:
+    """Replicate a conditioning dict for num_images_per_prompt=n (reference
+    encode_prompt's repeat_interleave, src/tryon_pipeline.py:710-730, and
+    encode_image's :469-479). CFG-batched tensors (leading dim 2B: uncond
+    half then cond half) replicate WITHIN each half so the uncond-first
+    ordering survives; plain B-batched tensors replicate directly."""
+    if n == 1:
+        return cond
+    b = cond["mask_lat"].shape[0]
+
+    def rep(x):
+        if x.shape[0] == 2 * b:  # CFG-batched: [uncond(B); cond(B)]
+            u, c = jnp.split(x, 2, axis=0)
+            return jnp.concatenate([jnp.repeat(u, n, axis=0),
+                                    jnp.repeat(c, n, axis=0)], axis=0)
+        return jnp.repeat(x, n, axis=0)
+
+    return {k: rep(v) for k, v in cond.items()}
 
 
 class TryonPipeline:
@@ -167,7 +192,8 @@ class TryonPipeline:
                             neg_ids_l, neg_ids_g,
                             cloth_ids_l, cloth_ids_g,
                             ip_pixels, vae_sample: bool = True,
-                            micro_conditioning: Optional[dict] = None) -> dict:
+                            micro_conditioning: Optional[dict] = None,
+                            clip_skip: Optional[int] = None) -> dict:
         """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in
         {0,1} (1 = inpaint region); ip_pixels (B, 224, 224, 3)
         CLIP-normalized. Returns the static conditioning dict for denoise().
@@ -195,9 +221,12 @@ class TryonPipeline:
         rngs = jax.random.split(rng, 3)
 
         # ---- text encoders (person prompt + negative + garment prompt)
-        prompt_embeds, pooled = encode_prompt_sdxl(m, params, prompt_ids_l, prompt_ids_g)
-        neg_embeds, neg_pooled = encode_prompt_sdxl(m, params, neg_ids_l, neg_ids_g)
-        cloth_embeds, _ = encode_prompt_sdxl(m, params, cloth_ids_l, cloth_ids_g)
+        prompt_embeds, pooled = encode_prompt_sdxl(
+            m, params, prompt_ids_l, prompt_ids_g, clip_skip=clip_skip)
+        neg_embeds, neg_pooled = encode_prompt_sdxl(
+            m, params, neg_ids_l, neg_ids_g, clip_skip=clip_skip)
+        cloth_embeds, _ = encode_prompt_sdxl(
+            m, params, cloth_ids_l, cloth_ids_g, clip_skip=clip_skip)
 
         # ---- IP-Adapter image path: ViT-H penultimate -> resampler, with a
         # zeros-image uncond branch (reference: tryon_pipeline.py:469-482)
@@ -240,7 +269,8 @@ class TryonPipeline:
         }
 
     def staged_encoder(self, *, vae_sample: bool = True,
-                       micro_conditioning: Optional[dict] = None):
+                       micro_conditioning: Optional[dict] = None,
+                       clip_skip: Optional[int] = None):
         """Returns encode(params, rng, inputs_dict) -> cond dict, built from
         per-tower jit programs with batched tower calls (3 prompt sets in one
         text-tower pass, cond+uncond in one vision pass, 3 VAE encodes in
@@ -253,7 +283,7 @@ class TryonPipeline:
 
         @jax.jit
         def text_fn(p, ids_l, ids_g):
-            return encode_prompt_sdxl(m, p, ids_l, ids_g)
+            return encode_prompt_sdxl(m, p, ids_l, ids_g, clip_skip=clip_skip)
 
         @jax.jit
         def vision_resampler_fn(p, pixels):
@@ -377,6 +407,9 @@ class TryonPipeline:
                 dtype=None, garment_cache: str = "every_step",
                 image_latents=None, inpaint_blend: bool = False,
                 init_noise=None, step_noise=None,
+                denoising_start: Optional[float] = None,
+                denoising_end: Optional[float] = None,
+                latents_in=None,
                 impl: Optional[str] = None):
         """The 30-step loop as one lax.scan. Returns final latents.
 
@@ -398,6 +431,16 @@ class TryonPipeline:
         torch RNG cannot be reproduced cross-framework). init_noise (B,h,w,4)
         replaces the initial draw; step_noise (T,B,h,w,4) replaces the
         per-step DDPM variance draws.
+
+        denoising_start / denoising_end: the SDXL base→refiner seam
+        (tryon_pipeline.py:1351-1365). With denoising_start set, strength
+        is ignored, NO noise is added (reference `add_noise=False`,
+        :1609), and the initial latents are ``latents_in`` (the predecessor
+        pipeline's output) or, if absent, ``image_latents`` as-is. With
+        denoising_end set, the loop stops early and returns the
+        partially-denoised latents for a successor with
+        denoising_start = this denoising_end; chaining is bit-exact to the
+        unsplit run given the same injected noises.
         """
         sched = self.scheduler
         init_rng, steps_rng = jax.random.split(rng)
@@ -405,11 +448,20 @@ class TryonPipeline:
         if init_noise is None:
             init_noise = jax.random.normal(init_rng, latent_shape, jnp.float32)
         init_noise = init_noise.astype(dtype)
-        ts = sched.timesteps(num_steps, strength)
-        prev_ts = sched.prev_timesteps(ts, num_steps)
+        ts, prev_ts = sched.timesteps_and_prev(
+            num_steps, strength, denoising_start, denoising_end)
         n_steps = int(ts.shape[0])
 
-        if strength >= 1.0:
+        if denoising_start is not None:
+            start_lat = latents_in if latents_in is not None else image_latents
+            if start_lat is None:
+                raise ValueError(
+                    "denoising_start requires latents_in (predecessor "
+                    "pipeline output) or image_latents (reference "
+                    "prepare_latents with add_noise=False, "
+                    "tryon_pipeline.py:1609)")
+            latents = start_lat.astype(dtype)
+        elif strength >= 1.0:
             latents = init_noise * sched.init_noise_sigma
         else:
             if image_latents is None:
@@ -482,14 +534,23 @@ class TryonPipeline:
                  init_noise=None, step_noise=None,
                  vae_sample: bool = True,
                  impl: Optional[str] = None,
-                 micro_conditioning: Optional[dict] = None):
-        """Returns images (B, H, W, 3) in [-1, 1].
+                 micro_conditioning: Optional[dict] = None,
+                 num_images_per_prompt: int = 1,
+                 clip_skip: Optional[int] = None,
+                 denoising_start: Optional[float] = None,
+                 denoising_end: Optional[float] = None,
+                 latents_in=None):
+        """Returns images (B*num_images_per_prompt, H, W, 3) in [-1, 1].
 
         init_noise / step_noise: golden-parity noise injection (see denoise).
         vae_sample=False: deterministic (posterior-mode) VAE encodes for
         golden fixtures. micro_conditioning: make_time_ids kwargs
         (original_size / crops / target_size etc., reference
         src/tryon_pipeline.py:1366-1383).
+        num_images_per_prompt: conditioning replicated per prompt (reference
+        :710-730); injected noises must already be (B*n, ...)-shaped.
+        clip_skip / denoising_start / denoising_end / latents_in: see
+        encode_prompt_sdxl / denoise.
         """
         m = self.models
         b, img_h, img_w, _ = person.shape
@@ -501,39 +562,51 @@ class TryonPipeline:
             neg_ids_l=neg_ids_l, neg_ids_g=neg_ids_g,
             cloth_ids_l=cloth_ids_l, cloth_ids_g=cloth_ids_g,
             ip_pixels=ip_pixels, vae_sample=vae_sample,
-            micro_conditioning=micro_conditioning)
+            micro_conditioning=micro_conditioning, clip_skip=clip_skip)
+        cond = replicate_cond(cond, num_images_per_prompt)
         image_latents = None
-        if strength < 1.0 or inpaint_blend:
+        if strength < 1.0 or inpaint_blend or denoising_start is not None:
             # sampled person-image latents (reference _encode_vae_image,
             # tryon_pipeline.py:913-933); keyed off the parent rng so the
             # default (strength=1) RNG stream is unchanged
             image_latents = vae_encode(params["vae"], m.vae_cfg, person,
                                        rng=jax.random.fold_in(rng, 7),
                                        sample=vae_sample)
+            image_latents = jnp.repeat(image_latents, num_images_per_prompt,
+                                       axis=0)
         latents = self.denoise(
             params, denoise_rng, cond,
-            latent_shape=(b, lat_h, lat_w, m.vae_cfg.latent_channels),
+            latent_shape=(b * num_images_per_prompt, lat_h, lat_w,
+                          m.vae_cfg.latent_channels),
             num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength,
             dtype=person.dtype, garment_cache=garment_cache,
             image_latents=image_latents, inpaint_blend=inpaint_blend,
-            init_noise=init_noise, step_noise=step_noise, impl=impl)
+            init_noise=init_noise, step_noise=step_noise,
+            denoising_start=denoising_start, denoising_end=denoising_end,
+            latents_in=latents_in, impl=impl)
         return self.decode(params, latents)
 
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
                      guidance_rescale: float = 0.0, strength: float = 1.0,
                      inpaint_blend: bool = False, vae_sample: bool = True,
                      impl: Optional[str] = None, donate: bool = False,
-                     micro_conditioning: Optional[dict] = None):
+                     micro_conditioning: Optional[dict] = None,
+                     num_images_per_prompt: int = 1,
+                     clip_skip: Optional[int] = None,
+                     denoising_start: Optional[float] = None,
+                     denoising_end: Optional[float] = None):
         """Returns jitted fn(params, rng, **tensor_kwargs) -> images —
         everything (encoders, 30-step scan, decode) in ONE program.
-        Accepts optional init_noise=/step_noise= tensor kwargs (golden
-        parity)."""
+        Accepts optional init_noise=/step_noise= (golden parity) and
+        latents_in= (denoising_start handoff) tensor kwargs."""
         gen = functools.partial(
             self.generate, num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength,
             inpaint_blend=inpaint_blend, vae_sample=vae_sample, impl=impl,
-            micro_conditioning=micro_conditioning)
+            micro_conditioning=micro_conditioning,
+            num_images_per_prompt=num_images_per_prompt, clip_skip=clip_skip,
+            denoising_start=denoising_start, denoising_end=denoising_end)
         return jax.jit(gen)
 
     def stepwise_generate(self, *, num_steps: int = 30,
@@ -544,7 +617,12 @@ class TryonPipeline:
                           inpaint_blend: bool = False,
                           vae_sample: bool = True,
                           impl: Optional[str] = None,
-                          micro_conditioning: Optional[dict] = None):
+                          micro_conditioning: Optional[dict] = None,
+                          num_images_per_prompt: int = 1,
+                          clip_skip: Optional[int] = None,
+                          denoising_start: Optional[float] = None,
+                          denoising_end: Optional[float] = None,
+                          callback_on_step_end=None):
         """Returns fn(params, rng, **tensor_kwargs) -> images built from
         small jitted programs: staged per-tower encode, a python loop over
         the jitted denoise step (donated latents), jitted decode.
@@ -554,12 +632,20 @@ class TryonPipeline:
         through a remote-compile path) and conditioning tensors stay small.
 
         Optional tensor kwargs init_noise= / step_noise= inject the initial
-        and per-step DDPM noises (golden-parity hook, SURVEY §7).
+        and per-step DDPM noises (golden-parity hook, SURVEY §7); latents_in=
+        is the denoising_start handoff (see denoise).
+
+        callback_on_step_end(pipeline, i, t, {"latents": lat}) runs on the
+        HOST after each denoise step, mirroring the reference's hook
+        (src/tryon_pipeline.py:1840-1845); a returned dict may override
+        "latents". Only available here — the fused generate() traces the
+        loop as one lax.scan, where a host callback cannot run.
         """
         m = self.models
         sched = self.scheduler
         encode = self.staged_encoder(vae_sample=vae_sample,
-                                     micro_conditioning=micro_conditioning)
+                                     micro_conditioning=micro_conditioning,
+                                     clip_skip=clip_skip)
         step = jax.jit(functools.partial(
             self.denoise_step, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, impl=impl),
@@ -578,26 +664,32 @@ class TryonPipeline:
         ).astype(lat.dtype))
 
         import numpy as np
-        ts = np.asarray(sched.timesteps(num_steps, strength))
-        prev_ts = np.asarray(sched.prev_timesteps(
-            sched.timesteps(num_steps, strength), num_steps))
+        ts_j, prev_j = sched.timesteps_and_prev(
+            num_steps, strength, denoising_start, denoising_end)
+        ts, prev_ts = np.asarray(ts_j), np.asarray(prev_j)
 
-        def fn(params, rng, *, init_noise=None, step_noise=None, **inputs):
+        def fn(params, rng, *, init_noise=None, step_noise=None,
+               latents_in=None, **inputs):
             b, img_h, img_w, _ = inputs["person"].shape
+            n_img = num_images_per_prompt
             lat_h = img_h // m.vae_cfg.downscale
             lat_w = img_w // m.vae_cfg.downscale
-            lshape = (b, lat_h, lat_w, m.vae_cfg.latent_channels)
+            lshape = (b * n_img, lat_h, lat_w, m.vae_cfg.latent_channels)
             dtype = inputs["person"].dtype
             cond_rng, init_rng, steps_rng = jax.random.split(rng, 3)
-            cond = encode(params, cond_rng, inputs)
+            cond = replicate_cond(encode(params, cond_rng, inputs), n_img)
             if init_noise is None:
                 init_noise = jax.random.normal(init_rng, lshape, jnp.float32)
             init_noise = init_noise.astype(dtype)
             image_lat = None
-            if strength < 1.0 or inpaint_blend:
-                image_lat = vae_enc(params, inputs["person"],
-                                    jax.random.fold_in(rng, 7))
-            if strength >= 1.0:
+            if strength < 1.0 or inpaint_blend or denoising_start is not None:
+                image_lat = jnp.repeat(
+                    vae_enc(params, inputs["person"],
+                            jax.random.fold_in(rng, 7)), n_img, axis=0)
+            if denoising_start is not None:
+                start = latents_in if latents_in is not None else image_lat
+                lat = start.astype(dtype)
+            elif strength >= 1.0:
                 lat = init_noise * sched.init_noise_sigma
             else:
                 lat = sched.add_noise(image_lat.astype(dtype), init_noise,
@@ -617,6 +709,10 @@ class TryonPipeline:
                     next_t = jnp.int32(ts[i + 1] if i + 1 < len(ts) else -1)
                     lat = blend(lat, image_lat.astype(dtype), init_noise,
                                 cond["mask_lat"], next_t)
+                if callback_on_step_end is not None:
+                    cb_out = callback_on_step_end(
+                        self, i, int(ts[i]), {"latents": lat}) or {}
+                    lat = cb_out.pop("latents", lat)
             return decode(params, lat)
 
         return fn

@@ -199,3 +199,171 @@ def test_encode_conditioning_micro_conditioning_plumbs():
                                 crops_coords_top_left=(5, 6)))
     np.testing.assert_array_equal(np.asarray(cond["time_ids"][-1]),
                                   [96, 96, 5, 6, 64, 64])
+
+
+# ---------------------------------------------------------------------------
+# reference __call__ breadth: denoising_start/end, num_images_per_prompt,
+# clip_skip, callback_on_step_end (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_timesteps_denoising_start_end_reference_formula():
+    """Scheduler head/tail trims reproduce the reference's arithmetic:
+    get_timesteps (src/tryon_pipeline.py:987-1011) for denoising_start and
+    the __call__ tail trim (:1743-1752) for denoising_end."""
+    from idmvton_tpu.core.config import SchedulerConfig
+    from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+
+    sched = DDPMScheduler(SchedulerConfig.sdxl_inference())
+    n = sched.cfg.num_train_timesteps
+    num = 10
+    full = np.asarray(sched.timesteps(num))
+
+    for start in (0.25, 0.5, 0.8):
+        got = np.asarray(sched.timesteps(num, denoising_start=start))
+        cutoff = int(round(n - start * n))
+        np.testing.assert_array_equal(got, full[full < cutoff])
+        # strength must be IGNORED when denoising_start is set (:997-998)
+        got2 = np.asarray(sched.timesteps(num, strength=0.3,
+                                          denoising_start=start))
+        np.testing.assert_array_equal(got2, got)
+
+    for end in (0.25, 0.5, 0.8):
+        got = np.asarray(sched.timesteps(num, denoising_end=end))
+        cutoff = int(round(n - end * n))
+        np.testing.assert_array_equal(got, full[full >= cutoff])
+
+    # end trim keeps prev pointing at the full schedule's next timestep
+    # (diffusers DDPM computes prev_t from num_inference_steps alone), so a
+    # successor pipeline resumes exactly where this one stopped
+    ts_e, prev_e = sched.timesteps_and_prev(num, denoising_end=0.5)
+    k = int(ts_e.shape[0])
+    assert 0 < k < num
+    assert int(prev_e[-1]) == int(full[k])  # NOT -1
+    # and the successor's schedule is exactly the leftover tail
+    ts_s = np.asarray(sched.timesteps(num, denoising_start=0.5))
+    np.testing.assert_array_equal(ts_s, full[k:])
+
+
+def test_denoising_split_chain_bit_exact():
+    """base(denoising_end=x) -> refiner(denoising_start=x) equals the unsplit
+    run exactly, given the same injected noises (the reference's documented
+    refiner workflow, src/tryon_pipeline.py:1351-1365)."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w = 1, 32, 32
+    inputs = _tiny_inputs(b, h, w, models)
+    cond = pipe.encode_conditioning(models.params(), jax.random.PRNGKey(1),
+                                    **inputs, vae_sample=False)
+    lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
+    lshape = (b, *lat_hw, models.vae_cfg.latent_channels)
+    num = 6
+    init_noise = jax.random.normal(jax.random.PRNGKey(7), lshape, jnp.float32)
+    step_noise = jax.random.normal(jax.random.PRNGKey(8), (num, *lshape),
+                                   jnp.float32)
+
+    full = pipe.denoise(models.params(), jax.random.PRNGKey(2), cond,
+                        latent_shape=lshape, num_steps=num,
+                        init_noise=init_noise, step_noise=step_noise)
+
+    k = int(pipe.scheduler.timesteps(num, denoising_end=0.5).shape[0])
+    assert 0 < k < num
+    seg1 = pipe.denoise(models.params(), jax.random.PRNGKey(2), cond,
+                        latent_shape=lshape, num_steps=num,
+                        denoising_end=0.5,
+                        init_noise=init_noise, step_noise=step_noise[:k])
+    seg2 = pipe.denoise(models.params(), jax.random.PRNGKey(3), cond,
+                        latent_shape=lshape, num_steps=num,
+                        denoising_start=0.5, latents_in=seg1,
+                        init_noise=init_noise, step_noise=step_noise[k:])
+    np.testing.assert_array_equal(np.asarray(seg2), np.asarray(full))
+
+
+def test_num_images_per_prompt_replicates():
+    """num_images_per_prompt=2 (reference repeat_interleave, tryon_pipeline
+    :710-730): with tiled injected noises, both replicas equal the n=1
+    image."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w, num = 1, 32, 32, 2
+    inputs = _tiny_inputs(b, h, w, models)
+    lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
+    lshape = (b, *lat_hw, models.vae_cfg.latent_channels)
+    init_noise = jax.random.normal(jax.random.PRNGKey(7), lshape, jnp.float32)
+    step_noise = jax.random.normal(jax.random.PRNGKey(8), (num, *lshape),
+                                   jnp.float32)
+
+    one = pipe.jit_generate(num_steps=num, vae_sample=False)(
+        models.params(), jax.random.PRNGKey(1), **inputs,
+        init_noise=init_noise, step_noise=step_noise)
+    two = pipe.jit_generate(num_steps=num, vae_sample=False,
+                            num_images_per_prompt=2)(
+        models.params(), jax.random.PRNGKey(1), **inputs,
+        init_noise=jnp.repeat(init_noise, 2, axis=0),
+        step_noise=jnp.repeat(step_noise, 2, axis=1))
+    assert two.shape == (2 * b, h, w, 3)
+    np.testing.assert_allclose(np.asarray(two[0]), np.asarray(two[1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(two[0]), np.asarray(one[0]),
+                               atol=2e-5)
+
+
+def test_clip_skip_selects_earlier_layer():
+    """clip_skip=k returns hidden_states[-(k+2)] (reference encode_prompt,
+    src/tryon_pipeline.py:637-641): on an N-layer tower it must equal the
+    default penultimate of the same tower truncated by k layers."""
+    import dataclasses
+    from idmvton_tpu.models.clip import init_clip_text, clip_text_apply
+
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    cfg = models.clip_l_cfg
+    assert cfg.num_layers >= 2
+    params = init_clip_text(jax.random.PRNGKey(3), cfg, dtype=DTYPE)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 7), 0, cfg.vocab_size)
+
+    default = clip_text_apply(params, cfg, ids)["penultimate"]
+    skip0 = clip_text_apply(params, cfg, ids, clip_skip=0)["penultimate"]
+    np.testing.assert_array_equal(np.asarray(skip0), np.asarray(default))
+
+    skip1 = clip_text_apply(params, cfg, ids, clip_skip=1)["penultimate"]
+    trunc_cfg = dataclasses.replace(cfg, num_layers=cfg.num_layers - 1)
+    trunc_params = dict(params, layers=params["layers"][:-1])
+    expect = clip_text_apply(trunc_params, trunc_cfg, ids)["penultimate"]
+    np.testing.assert_array_equal(np.asarray(skip1), np.asarray(expect))
+    assert float(jnp.abs(skip1 - default).max()) > 1e-6
+
+    import pytest
+    with pytest.raises(ValueError):
+        clip_text_apply(params, cfg, ids, clip_skip=cfg.num_layers)
+
+
+def test_callback_on_step_end():
+    """stepwise_generate's host callback fires per step with descending
+    timesteps and can override latents (reference callback_on_step_end,
+    src/tryon_pipeline.py:1840-1845)."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w, num = 1, 32, 32, 3
+    inputs = _tiny_inputs(b, h, w, models)
+
+    seen = []
+
+    def record(p, i, t, kwargs):
+        assert p is pipe
+        assert set(kwargs) == {"latents"}
+        seen.append((i, t))
+
+    base = pipe.stepwise_generate(num_steps=num, callback_on_step_end=record)(
+        models.params(), jax.random.PRNGKey(1), **inputs)
+    assert [i for i, _ in seen] == list(range(num))
+    ts = [t for _, t in seen]
+    assert ts == sorted(ts, reverse=True)
+
+    def override(p, i, t, kwargs):
+        if i == 0:
+            return {"latents": jnp.zeros_like(kwargs["latents"])}
+
+    out = pipe.stepwise_generate(num_steps=num,
+                                 callback_on_step_end=override)(
+        models.params(), jax.random.PRNGKey(1), **inputs)
+    assert float(jnp.abs(out - base).max()) > 1e-5
