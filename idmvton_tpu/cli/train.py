@@ -36,6 +36,12 @@ def parse_args(argv=None):
                         "optimizer step (reference train_xl.py:265,491)")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_beta1", type=float, default=0.9,
+                   help="AdamW beta1 (reference train_xl.py:283)")
+    p.add_argument("--adam_beta2", type=float, default=0.999,
+                   help="AdamW beta2 (reference train_xl.py:284)")
+    p.add_argument("--adam_epsilon", type=float, default=1e-8,
+                   help="AdamW epsilon (reference train_xl.py:286)")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--snr_gamma", type=float, default=None)
     p.add_argument("--optimizer", default="adamw",
@@ -100,6 +106,8 @@ def main(argv=None):
 
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(args.learning_rate, args.weight_decay,
+                        b1=args.adam_beta1, b2=args.adam_beta2,
+                        eps=args.adam_epsilon,
                         max_grad_norm=args.max_grad_norm,
                         optimizer=args.optimizer,
                         accum_steps=args.gradient_accumulation_steps)

@@ -42,7 +42,7 @@ class TrainState:
 
 
 def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
-                   b1: float = 0.9, b2: float = 0.999,
+                   b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                    max_grad_norm: float = 1.0,
                    optimizer: str = "adamw",
                    accum_steps: int = 1) -> optax.GradientTransformation:
@@ -63,12 +63,12 @@ def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-2,
     """
     if optimizer == "adamw8bit":
         from idmvton_tpu.train.quant_opt import adamw_int8
-        inner = adamw_int8(learning_rate, b1=b1, b2=b2, eps=1e-8,
+        inner = adamw_int8(learning_rate, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay)
     elif optimizer == "adafactor":
         inner = optax.adafactor(learning_rate)
     elif optimizer == "adamw":
-        inner = optax.adamw(learning_rate, b1=b1, b2=b2, eps=1e-8,
+        inner = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                             weight_decay=weight_decay)
     else:
         raise ValueError(optimizer)

@@ -174,3 +174,32 @@ def test_train_step_with_adamw8bit_runs():
     d0 = jax.tree_util.tree_leaves(state.trainable)[0]
     d1 = jax.tree_util.tree_leaves(new_state.trainable)[0]
     assert float(jnp.abs(d1 - d0).max()) > 0
+
+
+def test_optimizer_beta_eps_plumbing():
+    """--adam_beta1/beta2/epsilon reach optax (reference train_xl.py:283-286,
+    430-432): a large eps must damp the very first update exactly like
+    AdamW's update rule says (|u| = lr * g_hat / (sqrt(v_hat) + eps))."""
+    import optax
+    from idmvton_tpu.train.train_step import make_optimizer
+
+    g = {"w": jnp.full((4,), 2.0, jnp.float32)}
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    lr = 1e-3
+
+    def first_update(eps):
+        tx = make_optimizer(lr, weight_decay=0.0, eps=eps,
+                            max_grad_norm=1e9)
+        u, _ = tx.update(g, tx.init(params), params)
+        return float(u["w"][0])
+
+    # step 1: m_hat = g = 2, sqrt(v_hat) = |g| = 2, so the update is
+    # exactly -lr * 2 / (2 + eps)
+    np.testing.assert_allclose(first_update(0.0), -lr, rtol=1e-5)
+    np.testing.assert_allclose(first_update(1.0), -lr * 2.0 / 3.0, rtol=1e-5)
+
+    # betas plumb through too: b2=0 makes v_hat exact, same step-1 result
+    tx = make_optimizer(lr, weight_decay=0.0, b1=0.5, b2=0.0, eps=0.0,
+                        max_grad_norm=1e9)
+    u, _ = tx.update(g, tx.init(params), params)
+    np.testing.assert_allclose(float(u["w"][0]), -lr, rtol=1e-5)
