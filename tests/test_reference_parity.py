@@ -413,3 +413,214 @@ def test_schp_postproc_bitexact(ref_parsing):
             np.logical_and(np.logical_not((lip == 13).astype(np.float32)),
                            (want == 11).astype(np.float32)), 18, want)
         np.testing.assert_array_equal(add_neck(want, lip), neck_want)
+
+
+# ---------------------------------------------------------------------------
+# 7. Core mechanism: executed-reference BasicTransformerBlock (tryon/garmnet)
+#    + IPAttnProcessor2_0 via the diffusers shim (tests/_diffusers_shim.py)
+#
+# Oracles: src/attentionhacked_tryon.py:334-348 (garment KV concat + slice),
+# src/attentionhacked_garmnet.py:321-322 (pre-attn feature capture),
+# ip_adapter/attention_processor.py:1907-2010 (decoupled IP cross-attn).
+# ---------------------------------------------------------------------------
+
+
+DIM, HEADS, HEAD_DIM, CTX_DIM, IP_TOKENS = 64, 4, 16, 96, 4
+
+
+@pytest.fixture(scope="module")
+def ref_attention_mods():
+    import _diffusers_shim
+    _diffusers_shim.install()
+    tryon = load_ref_file("src/attentionhacked_tryon.py", "ref_attn_tryon")
+    garm = load_ref_file("src/attentionhacked_garmnet.py", "ref_attn_garmnet")
+    ip = load_ref_file("ip_adapter/attention_processor.py", "ref_ip_attnproc")
+    return types.SimpleNamespace(tryon=tryon, garm=garm, ip=ip)
+
+
+def _randomize(module, seed):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+    return module.eval()
+
+
+def _lin_t(mod):
+    return np.asarray(mod.weight.detach().numpy().T)
+
+
+def _norm_np(mod):
+    return {"scale": mod.weight.detach().numpy(),
+            "bias": mod.bias.detach().numpy()}
+
+
+def _block_params_from_torch(blk, ip_proc=None):
+    """Map a reference BasicTransformerBlock state into our fused param tree
+    (same split/concat the production converter applies,
+    weights/converter.py::_unet_schema)."""
+    import jax.numpy as jnp
+    a1, a2 = blk.attn1, blk.attn2
+    p = {
+        "norm1": _norm_np(blk.norm1),
+        "attn1": {
+            "to_qkv": {"kernel": np.concatenate(
+                [_lin_t(a1.to_q), _lin_t(a1.to_k), _lin_t(a1.to_v)], axis=1)},
+            "to_out": {"kernel": _lin_t(a1.to_out[0]),
+                       "bias": a1.to_out[0].bias.detach().numpy()},
+        },
+        "norm2": _norm_np(blk.norm2),
+        "attn2": {
+            "to_q": {"kernel": _lin_t(a2.to_q)},
+            "to_kv": {"kernel": np.concatenate(
+                [_lin_t(a2.to_k), _lin_t(a2.to_v)], axis=1)},
+            "to_out": {"kernel": _lin_t(a2.to_out[0]),
+                       "bias": a2.to_out[0].bias.detach().numpy()},
+        },
+        "norm3": _norm_np(blk.norm3),
+        "ff": {
+            "proj_in": {"kernel": _lin_t(blk.ff.net[0].proj),
+                        "bias": blk.ff.net[0].proj.bias.detach().numpy()},
+            "proj_out": {"kernel": _lin_t(blk.ff.net[2]),
+                         "bias": blk.ff.net[2].bias.detach().numpy()},
+        },
+    }
+    if ip_proc is not None:
+        p["attn2"]["to_kv_ip"] = {"kernel": np.concatenate(
+            [_lin_t(ip_proc.to_k_ip), _lin_t(ip_proc.to_v_ip)], axis=1)}
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), p)
+
+
+import jax  # noqa: E402  (used by the tree_map above)
+
+
+def _block_inputs(seed, batch=2, n=33, m=17):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(batch, n, DIM)).astype(np.float32)
+    ctx = rng.normal(size=(batch, 7, CTX_DIM)).astype(np.float32)
+    g = rng.normal(size=(batch, m, DIM)).astype(np.float32)
+    return x, ctx, g
+
+
+def test_garmnet_block_parity(ref_attention_mods):
+    """Emit mode: output AND the captured garment feature match the executed
+    reference block (attentionhacked_garmnet.py:321-322, :406)."""
+    import jax.numpy as jnp
+    from idmvton_tpu.models.attention import transformer_block
+
+    blk = _randomize(ref_attention_mods.garm.BasicTransformerBlock(
+        DIM, HEADS, HEAD_DIM, cross_attention_dim=CTX_DIM), seed=11)
+    params = _block_params_from_torch(blk)
+    x, ctx, _ = _block_inputs(21)
+
+    with torch.no_grad():
+        want, feats = blk(torch.from_numpy(x),
+                          encoder_hidden_states=torch.from_numpy(ctx))
+    got, emitted = transformer_block(params, jnp.asarray(x), jnp.asarray(ctx),
+                                     heads=HEADS, garment_mode="emit",
+                                     impl="xla")
+    assert len(feats) == 1
+    np.testing.assert_allclose(np.asarray(emitted), feats[0].numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_tryon_block_parity(ref_attention_mods):
+    """Consume mode: our Q(N)xKV(N+M) reformulation matches the executed
+    reference concat->attn->slice (attentionhacked_tryon.py:334-348)."""
+    import jax.numpy as jnp
+    from idmvton_tpu.models.attention import transformer_block
+
+    blk = _randomize(ref_attention_mods.tryon.BasicTransformerBlock(
+        DIM, HEADS, HEAD_DIM, cross_attention_dim=CTX_DIM), seed=12)
+    params = _block_params_from_torch(blk)
+    x, ctx, g = _block_inputs(22)
+
+    with torch.no_grad():
+        want, idx = blk(torch.from_numpy(x),
+                        encoder_hidden_states=torch.from_numpy(ctx),
+                        garment_features=[torch.from_numpy(g)],
+                        curr_garment_feat_idx=0)
+    assert idx == 1  # the reference's mutable cursor advanced one feature
+    got, emitted = transformer_block(params, jnp.asarray(x), jnp.asarray(ctx),
+                                     heads=HEADS, garment_mode="consume",
+                                     garment_feat=jnp.asarray(g), impl="xla")
+    assert emitted is None
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_ip_attn_processor_parity(ref_attention_mods):
+    """Decoupled IP cross-attention vs the executed IPAttnProcessor2_0
+    (ip_adapter/attention_processor.py:1907-2010): two softmaxes summed with
+    the ip scale, NOT one softmax over the concatenated context."""
+    import jax.numpy as jnp
+    from idmvton_tpu.models.attention import cross_attention
+
+    shim = sys.modules["diffusers.models.attention_processor"]
+    attn = shim.Attention(query_dim=DIM, cross_attention_dim=CTX_DIM,
+                          heads=HEADS, dim_head=HEAD_DIM)
+    proc = ref_attention_mods.ip.IPAttnProcessor2_0(
+        hidden_size=DIM, cross_attention_dim=CTX_DIM, scale=0.625,
+        num_tokens=IP_TOKENS)
+    _randomize(attn, seed=13)
+    _randomize(proc, seed=14)
+    attn.set_processor(proc)
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(2, 33, DIM)).astype(np.float32)
+    ctx = rng.normal(size=(2, 7 + IP_TOKENS, CTX_DIM)).astype(np.float32)
+    with torch.no_grad():
+        want = attn(torch.from_numpy(x),
+                    encoder_hidden_states=torch.from_numpy(ctx)).numpy()
+
+    params = {
+        "to_q": {"kernel": jnp.asarray(_lin_t(attn.to_q), jnp.float32)},
+        "to_kv": {"kernel": jnp.asarray(np.concatenate(
+            [_lin_t(attn.to_k), _lin_t(attn.to_v)], axis=1), jnp.float32)},
+        "to_kv_ip": {"kernel": jnp.asarray(np.concatenate(
+            [_lin_t(proc.to_k_ip), _lin_t(proc.to_v_ip)], axis=1), jnp.float32)},
+        "to_out": {"kernel": jnp.asarray(_lin_t(attn.to_out[0]), jnp.float32),
+                   "bias": jnp.asarray(attn.to_out[0].bias.detach().numpy(),
+                                       jnp.float32)},
+    }
+    got = cross_attention(params, jnp.asarray(x), jnp.asarray(ctx),
+                          heads=HEADS, ip_num_tokens=IP_TOKENS,
+                          ip_scale=0.625, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def test_tryon_block_with_ip_parity(ref_attention_mods):
+    """Full hot path in one oracle: garment-concat self-attn + decoupled IP
+    cross-attn + GEGLU FF, executed end-to-end through the reference block
+    with IPAttnProcessor2_0 installed on attn2 (the production wiring,
+    src/unet_hacked_tryon.py + ip_adapter)."""
+    import jax.numpy as jnp
+    from idmvton_tpu.models.attention import transformer_block
+
+    blk = _randomize(ref_attention_mods.tryon.BasicTransformerBlock(
+        DIM, HEADS, HEAD_DIM, cross_attention_dim=CTX_DIM), seed=15)
+    proc = _randomize(ref_attention_mods.ip.IPAttnProcessor2_0(
+        hidden_size=DIM, cross_attention_dim=CTX_DIM, scale=0.5,
+        num_tokens=IP_TOKENS), seed=16)
+    blk.attn2.set_processor(proc)
+    params = _block_params_from_torch(blk, ip_proc=proc)
+
+    rng = np.random.default_rng(24)
+    x = rng.normal(size=(2, 33, DIM)).astype(np.float32)
+    ctx = rng.normal(size=(2, 7 + IP_TOKENS, CTX_DIM)).astype(np.float32)
+    g = rng.normal(size=(2, 17, DIM)).astype(np.float32)
+    with torch.no_grad():
+        want, idx = blk(torch.from_numpy(x),
+                        encoder_hidden_states=torch.from_numpy(ctx),
+                        garment_features=[torch.from_numpy(g)],
+                        curr_garment_feat_idx=0)
+    assert idx == 1
+    got, _ = transformer_block(params, jnp.asarray(x), jnp.asarray(ctx),
+                               heads=HEADS, garment_mode="consume",
+                               garment_feat=jnp.asarray(g),
+                               ip_num_tokens=IP_TOKENS, ip_scale=0.5,
+                               impl="xla")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=5e-5, rtol=1e-4)
