@@ -23,6 +23,7 @@ with remat).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -256,6 +257,13 @@ def _mxu_lsum() -> bool:
 # clamp: forces the exact online-max softmax for the rest of the process.
 _FIXED_SHIFT_FORCED_OFF = False
 
+# Serializes the calibrate A/B (it mutates os.environ + the force-off flag
+# non-atomically — advisor r4) and counts flash dispatches so a calibration
+# that runs AFTER serving programs were already traced can warn (those
+# programs captured _fixed_shift() at trace time and are not retrofitted).
+_CALIBRATE_LOCK = threading.Lock()
+_FLASH_GEMM_CALLS = 0
+
 
 def _fixed_shift() -> bool:
     # Fixed-shift softmax (DEFAULT): skip the online running-max and compute
@@ -285,21 +293,31 @@ def calibrate_fixed_shift(qkv, kv_ref=None, *, tol: float = 5e-3,
     MUST run BEFORE the first pipeline/serving program is jitted for the
     checkpoint: _fixed_shift() is read at trace time, so programs compiled
     earlier keep whichever path was active when they were traced — flipping
-    the flag afterward does not retrofit cached executables. A clean
+    the flag afterward does not retrofit cached executables (a calibration
+    that runs after prior flash dispatches logs a warning). A clean
     calibration (err <= tol) RESETS a previous force-off, so switching back
-    to a well-behaved checkpoint restores the fast path."""
+    to a well-behaved checkpoint restores the fast path. Thread-safe: the
+    A/B's env/flag mutation is serialized by a module lock."""
     global _FIXED_SHIFT_FORCED_OFF
-    err = fixed_shift_max_error(qkv, kv_ref, **kw)
-    if err > tol:
-        _FIXED_SHIFT_FORCED_OFF = True
-        import logging
-        logging.getLogger(__name__).warning(
-            "fixed-shift softmax miscalibrated for this checkpoint "
-            "(max_error %.3g > tol %.3g): falling back to online-max "
-            "softmax process-wide", err, tol)
-    else:
-        _FIXED_SHIFT_FORCED_OFF = False
-    return {"max_error": err, "fixed_shift": not _FIXED_SHIFT_FORCED_OFF}
+    import logging
+    log = logging.getLogger(__name__)
+    with _CALIBRATE_LOCK:
+        if _FLASH_GEMM_CALLS > 0:
+            log.warning(
+                "calibrate_fixed_shift called after %d flash-attention "
+                "dispatches: programs already traced keep the softmax path "
+                "that was active at trace time — calibrate at checkpoint "
+                "bring-up, before the first jit", _FLASH_GEMM_CALLS)
+        err = _fixed_shift_max_error_locked(qkv, kv_ref, **kw)
+        if err > tol:
+            _FIXED_SHIFT_FORCED_OFF = True
+            log.warning(
+                "fixed-shift softmax miscalibrated for this checkpoint "
+                "(max_error %.3g > tol %.3g): falling back to online-max "
+                "softmax process-wide", err, tol)
+        else:
+            _FIXED_SHIFT_FORCED_OFF = False
+        return {"max_error": err, "fixed_shift": not _FIXED_SHIFT_FORCED_OFF}
 
 
 def fixed_shift_max_error(qkv, kv_ref=None, **kw):
@@ -308,11 +326,17 @@ def fixed_shift_max_error(qkv, kv_ref=None, **kw):
     a new/finetuned checkpoint (converged SDXL logits sit in [-30, 30]; a
     checkpoint whose logits exceed _FIXED_SHIFT_CLAMP would silently degrade
     under fixed-shift). Kwargs are forwarded to flash_attention_gemm."""
+    with _CALIBRATE_LOCK:
+        return _fixed_shift_max_error_locked(qkv, kv_ref, **kw)
+
+
+def _fixed_shift_max_error_locked(qkv, kv_ref=None, **kw):
     import numpy as np
-    global _FIXED_SHIFT_FORCED_OFF
+    global _FIXED_SHIFT_FORCED_OFF, _FLASH_GEMM_CALLS
     old = os.environ.get("IDMVTON_FLASH_FIXED_SHIFT")
     old_forced = _FIXED_SHIFT_FORCED_OFF
-    try:
+    old_calls = _FLASH_GEMM_CALLS  # the A/B's own throwaway dispatches
+    try:                           # must not count as serving traces
         _FIXED_SHIFT_FORCED_OFF = False  # the A/B must exercise both paths
         os.environ["IDMVTON_FLASH_FIXED_SHIFT"] = "1"
         a = flash_attention_gemm(qkv, kv_ref, **kw)
@@ -320,6 +344,7 @@ def fixed_shift_max_error(qkv, kv_ref=None, **kw):
         b = flash_attention_gemm(qkv, kv_ref, **kw)
     finally:
         _FIXED_SHIFT_FORCED_OFF = old_forced
+        _FLASH_GEMM_CALLS = old_calls
         if old is None:
             os.environ.pop("IDMVTON_FLASH_FIXED_SHIFT", None)
         else:
@@ -693,6 +718,8 @@ def flash_attention_gemm(qkv, kv_ref=None, *, heads: int,
     Returns (B, N, H*D) merged-head output. Requires H*D % 128 == 0 and
     D in {8,16,32,64,128} dividing 128 (SDXL: D=64 -> head-pair blocks).
     """
+    global _FLASH_GEMM_CALLS
+    _FLASH_GEMM_CALLS += 1
     b, n, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // heads

@@ -187,8 +187,14 @@ def paint_contour(image_rgb, boxes, labels, uv, valid, *, levels: int = 10):
             continue
         bbox_xywh = _xyxy_to_xywh_clipped(boxes[k], h, w)
         segm = np.asarray(labels[k])
+        # The reference contours the uint8-PACKED IUV, not the raw float
+        # heads: uv*255 truncated to uint8 then /255 (densepose_results.py:
+        # 28-29 iuv packing, :162-163 unpack) — reproduce that quantization
+        # round-trip so contour placement matches.
         u = np.clip(np.asarray(uv)[k, ..., 0], 0, 1)
         v = np.clip(np.asarray(uv)[k, ..., 1], 0, 1)
+        u = (u * 255.0).astype(np.uint8).astype(float) / 255.0
+        v = (v * 255.0).astype(np.uint8).astype(float) / 255.0
         for arr in (u, v):
             _contours(out, arr, segm, bbox_xywh, lv, level_colors)
     return out[:, :, ::-1]

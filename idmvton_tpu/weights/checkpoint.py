@@ -34,6 +34,48 @@ _CFG_TYPES = (UNetConfig, UNetConfig, VAEConfig, CLIPTextConfig,
               CLIPTextConfig, CLIPVisionConfig, ResamplerConfig)
 
 
+def calibrate_attention_softmax(models: TryonModels, *, tol: float = 5e-3,
+                                seq: int = 256, batch: int = 2,
+                                seed: int = 0) -> Optional[dict]:
+    """Load-time fixed-shift softmax guard for checkpoint bring-up (r4
+    verdict #4): A/B the fixed-shift flash softmax against the exact
+    online-max path on one batch of activations PROJECTED THROUGH the
+    checkpoint's own hottest self-attention to_qkv (the first attn-bearing
+    down level — the largest-sequence site), auto-forcing the exact path
+    process-wide on breach (hot-logit finetunes no longer degrade silently).
+
+    Runs BEFORE any serving program is jitted for the checkpoint — callers
+    (from_diffusers / load_pipeline) invoke it right after conversion.
+    Returns the calibrate report, or None when skipped (tiny geometries the
+    flash kernel doesn't serve, or IDMVTON_CALIBRATE=0).
+    """
+    if os.environ.get("IDMVTON_CALIBRATE", "1") == "0":
+        return None
+    from idmvton_tpu.ops.pallas_attention import (
+        calibrate_fixed_shift, flash_attention_gemm_supported,
+    )
+    blk = next((b for b in models.unet["down_blocks"] if "attentions" in b),
+               None)
+    if blk is None:
+        return None
+    kernel = blk["attentions"][0]["blocks"][0]["attn1"]["to_qkv"]["kernel"]
+    inner = kernel.shape[1] // 3
+    heads = inner // models.unet_cfg.attention_head_dim
+    if not flash_attention_gemm_supported(inner, heads):
+        return None  # tiny/test geometries run the XLA path anyway
+    x = jax.random.normal(jax.random.PRNGKey(seed),
+                          (batch, seq, kernel.shape[0]),
+                          jnp.float32).astype(kernel.dtype)
+    qkv = jnp.einsum("bnc,cd->bnd", x, kernel)
+    report = calibrate_fixed_shift(qkv, heads=heads, tol=tol,
+                                   block_q=128, block_kv=128)
+    import logging
+    logging.getLogger(__name__).info(
+        "fixed-shift softmax calibration: max_error %.3g, fixed_shift=%s",
+        report["max_error"], report["fixed_shift"])
+    return report
+
+
 def save_pipeline(path: str, models: TryonModels):
     import orbax.checkpoint as ocp
     os.makedirs(path, exist_ok=True)
@@ -45,7 +87,8 @@ def save_pipeline(path: str, models: TryonModels):
                force=True)
 
 
-def load_pipeline(path: str, dtype=jnp.bfloat16) -> TryonModels:
+def load_pipeline(path: str, dtype=jnp.bfloat16, *,
+                  calibrate: bool = True) -> TryonModels:
     import orbax.checkpoint as ocp
     with open(os.path.join(path, "config.json")) as f:
         cfgs = json.load(f)
@@ -62,7 +105,10 @@ def load_pipeline(path: str, dtype=jnp.bfloat16) -> TryonModels:
         lambda x: jnp.asarray(x, dtype) if jnp.asarray(x).dtype in
         (jnp.float32, jnp.bfloat16, jnp.float16) else jnp.asarray(x), t)
     params = {k: cast(v) for k, v in params.items()}
-    return TryonModels(**kw, **params)
+    models = TryonModels(**kw, **params)
+    if calibrate:
+        calibrate_attention_softmax(models)
+    return models
 
 
 def save_train_state(path: str, state, *, keep: int = 3):
@@ -178,12 +224,15 @@ def _find_weights(subdir: str) -> Optional[str]:
 
 
 def from_diffusers(root: str, dtype=jnp.bfloat16, *,
-                   unet_subfolder: str = "unet") -> TryonModels:
+                   unet_subfolder: str = "unet",
+                   calibrate: bool = True) -> TryonModels:
     """Build TryonModels from a diffusers hub layout:
     {unet, unet_encoder, vae, text_encoder, text_encoder_2, image_encoder}
     subfolders (reference: inference.py:232-274, yisol/IDM-VTON). The trained
     TryonNet carries the Resampler as encoder_hid_proj inside its state dict
-    (train_xl.py:343-357); image_proj.* keys are converted separately."""
+    (train_xl.py:343-357); image_proj.* keys are converted separately.
+    ``calibrate`` runs the fixed-shift softmax guard on the loaded weights
+    (calibrate_attention_softmax) before any program is jitted."""
     cfgs = dict(
         unet_cfg=UNetConfig.sdxl_tryon(), garm_cfg=UNetConfig.sdxl_garment(),
         vae_cfg=VAEConfig.sdxl(), clip_l_cfg=CLIPTextConfig.clip_l(),
@@ -222,7 +271,7 @@ def from_diffusers(root: str, dtype=jnp.bfloat16, *,
         prefix = "image_proj." if any(k.startswith("image_proj.") for k in ip_sd) else ""
         rs = convert_resampler(ip_sd, cfgs["resampler_cfg"], dtype, prefix=prefix)
 
-    return TryonModels(
+    models = TryonModels(
         **cfgs,
         unet=convert_unet(unet_sd, cfgs["unet_cfg"], dtype),
         garm=convert_unet(garm_sd, cfgs["garm_cfg"], dtype),
@@ -232,3 +281,6 @@ def from_diffusers(root: str, dtype=jnp.bfloat16, *,
         vision=convert_clip_vision(img_sd, cfgs["vision_cfg"], dtype),
         resampler=rs,
     )
+    if calibrate:
+        calibrate_attention_softmax(models)
+    return models

@@ -93,3 +93,52 @@ def test_save_diffusers_roundtrip(tmp_path):
         for w, g in zip(flat_w, flat_g):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        atol=1e-6, err_msg=field)
+
+
+def test_checkpoint_bringup_calibrates_fixed_shift(tmp_path):
+    """r4 verdict #4: loading a checkpoint whose attention logits exceed the
+    fixed-shift clamp must flip the process to the exact online-max softmax
+    WITHOUT operator action — load_pipeline runs
+    calibrate_attention_softmax automatically. A well-behaved checkpoint
+    calibrates clean and keeps (or restores) the fast path."""
+    import dataclasses
+    from idmvton_tpu.core.config import UNetConfig
+    from idmvton_tpu.models.unet import init_unet
+    from idmvton_tpu.ops import pallas_attention as PA
+    from idmvton_tpu.weights.checkpoint import save_pipeline, load_pipeline
+
+    # tiny stack whose FIRST attn site is flash-servable (inner=128, d=16)
+    cfg = UNetConfig.tiny("consume", block_out_channels=(32, 128, 256))
+    unet = init_unet(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True,
+                              dtype=jnp.float32)
+    models = dataclasses.replace(models, unet_cfg=cfg, unet=unet)
+
+    site = models.unet["down_blocks"][1]["attentions"][0]["blocks"][0]
+    kernel = site["attn1"]["to_qkv"]["kernel"]
+    c, three_inner = kernel.shape
+    inner = three_inner // 3
+
+    clean_path = str(tmp_path / "clean")
+    save_pipeline(clean_path, models)
+
+    # hot finetune: q/k columns share a large random matrix, so logits land
+    # far above _FIXED_SHIFT_CLAMP with distinct magnitudes
+    w_qk = 0.5 * jax.random.normal(jax.random.PRNGKey(7), (c, inner),
+                                   jnp.float32)
+    hot = jnp.concatenate([w_qk, w_qk, kernel[:, 2 * inner:]], axis=1)
+    site["attn1"]["to_qkv"]["kernel"] = hot
+    hot_path = str(tmp_path / "hot")
+    save_pipeline(hot_path, models)
+
+    old = PA._FIXED_SHIFT_FORCED_OFF
+    try:
+        PA._FIXED_SHIFT_FORCED_OFF = False
+        load_pipeline(hot_path, dtype=jnp.float32)
+        assert not PA._fixed_shift(), \
+            "hot-logit checkpoint must auto-force the online-max softmax"
+        # switching to a well-behaved checkpoint restores the fast path
+        load_pipeline(clean_path, dtype=jnp.float32)
+        assert PA._fixed_shift()
+    finally:
+        PA._FIXED_SHIFT_FORCED_OFF = old
