@@ -18,6 +18,29 @@ import jax.numpy as jnp
 from idmvton_tpu.core.config import SchedulerConfig
 
 
+def denoising_value_valid(x) -> bool:
+    """The reference honors denoising_start/denoising_end ONLY when the value
+    is a number strictly inside (0, 1) (tryon_pipeline.py:1586-1589
+    ``denoising_value_valid``); anything else is silently ignored and the
+    strength path applies."""
+    return x is not None and 0.0 < float(x) < 1.0
+
+
+def check_denoising_range(denoising_start, denoising_end):
+    """Normalize (start, end) per reference semantics: invalid values become
+    None (ignored), and a valid start >= valid end raises (an empty refiner
+    window is a caller error — cf. diffusers' base+refiner contract — rather
+    than a silent passthrough of the input latents)."""
+    start = float(denoising_start) if denoising_value_valid(denoising_start) \
+        else None
+    end = float(denoising_end) if denoising_value_valid(denoising_end) else None
+    if start is not None and end is not None and start >= end:
+        raise ValueError(
+            f"denoising_start ({start}) must be < denoising_end ({end}): "
+            "the [start, end) window would be empty")
+    return start, end
+
+
 def _rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
     """Lin et al. 2023 zero-terminal-SNR rescale (diffusers
     rescale_zero_terminal_snr semantics, operating on sqrt(alphas_cumprod))."""
@@ -78,10 +101,17 @@ class DDPMScheduler:
 
     def timesteps(self, num_inference_steps: int, strength: float = 1.0,
                   denoising_start: float = None,
-                  denoising_end: float = None):
+                  denoising_end: float = None,
+                  custom_timesteps=None):
         """Discrete timesteps for the denoise loop (descending), with the
         reference's strength-based truncation (tryon_pipeline.py:987
         get_timesteps: keeps the last num_steps*strength steps).
+
+        custom_timesteps: explicit descending timestep list — the reference's
+        ``timesteps`` kwarg routed through retrieve_timesteps
+        (tryon_pipeline.py:264-302, :1561). Overrides the spacing formula;
+        num_inference_steps becomes len(custom_timesteps) for the strength
+        truncation, and the start/end trims apply as usual.
 
         denoising_start: refiner-handoff head trim (tryon_pipeline.py:999-
         1011): strength is IGNORED and the schedule keeps only timesteps
@@ -90,9 +120,26 @@ class DDPMScheduler:
         denoising_end: tail trim (tryon_pipeline.py:1743-1752): keep only
         timesteps >= round(T - end*T); the remaining tail is left for a
         successor pipeline with denoising_start = this denoising_end.
+
+        Values outside (0, 1) are IGNORED (reference denoising_value_valid,
+        tryon_pipeline.py:1586-1589); start >= end raises.
         """
+        denoising_start, denoising_end = check_denoising_range(
+            denoising_start, denoising_end)
         n = self.cfg.num_train_timesteps
-        if self.cfg.timestep_spacing == "leading":
+        if custom_timesteps is not None:
+            ts = np.asarray(custom_timesteps, np.int64)
+            if ts.ndim != 1 or ts.size == 0:
+                raise ValueError("custom timesteps must be a non-empty 1-D "
+                                 "sequence")
+            if np.any(np.diff(ts) >= 0):
+                raise ValueError("custom timesteps must be strictly "
+                                 "descending (diffusers set_timesteps "
+                                 "contract)")
+            if ts[0] >= n or ts[-1] < 0:
+                raise ValueError(f"custom timesteps must lie in [0, {n})")
+            num_inference_steps = int(ts.size)
+        elif self.cfg.timestep_spacing == "leading":
             ratio = n // num_inference_steps
             ts = (np.arange(num_inference_steps) * ratio).round()[::-1]
             ts = ts + self.cfg.steps_offset
@@ -118,7 +165,8 @@ class DDPMScheduler:
     def timesteps_and_prev(self, num_inference_steps: int,
                            strength: float = 1.0,
                            denoising_start: float = None,
-                           denoising_end: float = None):
+                           denoising_end: float = None,
+                           custom_timesteps=None):
         """(ts, prev_ts) with the denoising_end trim applied AFTER deriving
         prev from the untrimmed tail: diffusers' DDPM step computes
         prev_t = t - T//num_steps from num_inference_steps alone, so a
@@ -126,7 +174,10 @@ class DDPMScheduler:
         timestep of the full schedule (where the successor pipeline resumes),
         not to -1. Chaining end=x then start=x is bit-exact to the unsplit
         run (tests/test_pipeline.py)."""
-        full = self.timesteps(num_inference_steps, strength, denoising_start)
+        denoising_start, denoising_end = check_denoising_range(
+            denoising_start, denoising_end)
+        full = self.timesteps(num_inference_steps, strength, denoising_start,
+                              custom_timesteps=custom_timesteps)
         prev = self.prev_timesteps(full, num_inference_steps)
         if denoising_end is not None and 0.0 < denoising_end < 1.0:
             n = self.cfg.num_train_timesteps

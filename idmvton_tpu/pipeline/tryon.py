@@ -30,7 +30,9 @@ from idmvton_tpu.core.config import (
     UNetConfig, VAEConfig, CLIPTextConfig, CLIPVisionConfig, ResamplerConfig,
     SchedulerConfig,
 )
-from idmvton_tpu.diffusion.scheduler import DDPMScheduler, classifier_free_guidance
+from idmvton_tpu.diffusion.scheduler import (
+    DDPMScheduler, classifier_free_guidance, check_denoising_range,
+)
 from idmvton_tpu.models.unet import init_unet, unet_apply
 from idmvton_tpu.models.vae import init_vae, vae_encode, vae_decode
 from idmvton_tpu.models.clip import (
@@ -188,15 +190,34 @@ class TryonPipeline:
 
     def encode_conditioning(self, params: dict, rng, *,
                             person, mask, pose, cloth,
-                            prompt_ids_l, prompt_ids_g,
-                            neg_ids_l, neg_ids_g,
-                            cloth_ids_l, cloth_ids_g,
-                            ip_pixels, vae_sample: bool = True,
+                            prompt_ids_l=None, prompt_ids_g=None,
+                            neg_ids_l=None, neg_ids_g=None,
+                            cloth_ids_l=None, cloth_ids_g=None,
+                            ip_pixels=None, vae_sample: bool = True,
                             micro_conditioning: Optional[dict] = None,
-                            clip_skip: Optional[int] = None) -> dict:
+                            clip_skip: Optional[int] = None,
+                            prompt_embeds=None, pooled_prompt_embeds=None,
+                            negative_prompt_embeds=None,
+                            negative_pooled_prompt_embeds=None,
+                            cloth_prompt_embeds=None,
+                            masked_image_latents=None) -> dict:
         """All image inputs (B, H, W, C) in [-1, 1]; mask (B, H, W, 1) in
         {0,1} (1 = inpaint region); ip_pixels (B, 224, 224, 3)
         CLIP-normalized. Returns the static conditioning dict for denoise().
+
+        Precomputed-embedding passthrough (the reference's own served calling
+        convention — inference.py:364-397 runs encode_prompt outside and
+        passes embeds into __call__, tryon_pipeline.py:1276-1279):
+        prompt_embeds (B, S, 2048) + pooled_prompt_embeds (B, 1280) replace
+        the prompt_ids_* text-tower pass; negative_* likewise; and
+        cloth_prompt_embeds replaces cloth_ids_* (the reference's
+        text_embeds_cloth, :1285). Each prompt slot independently takes ids
+        OR embeds; embeds require their pooled companion (for the slots that
+        use pooled).
+
+        masked_image_latents: precomputed scaled latents of the masked
+        person image (B, h, w, 4) — skips that VAE encode (reference
+        prepare_mask_latents, tryon_pipeline.py:957-964, __call__ :1260).
 
         micro_conditioning: optional kwargs for make_time_ids
         (original_size / crops_coords_top_left / target_size, negative
@@ -220,13 +241,30 @@ class TryonPipeline:
         dtype = person.dtype
         rngs = jax.random.split(rng, 3)
 
-        # ---- text encoders (person prompt + negative + garment prompt)
-        prompt_embeds, pooled = encode_prompt_sdxl(
-            m, params, prompt_ids_l, prompt_ids_g, clip_skip=clip_skip)
-        neg_embeds, neg_pooled = encode_prompt_sdxl(
-            m, params, neg_ids_l, neg_ids_g, clip_skip=clip_skip)
-        cloth_embeds, _ = encode_prompt_sdxl(
-            m, params, cloth_ids_l, cloth_ids_g, clip_skip=clip_skip)
+        # ---- text encoders (person prompt + negative + garment prompt),
+        # each slot skippable via precomputed embeds (reference convention)
+        if prompt_embeds is None:
+            prompt_embeds, pooled = encode_prompt_sdxl(
+                m, params, prompt_ids_l, prompt_ids_g, clip_skip=clip_skip)
+        else:
+            if pooled_prompt_embeds is None:
+                raise ValueError("prompt_embeds requires pooled_prompt_embeds"
+                                 " (reference tryon_pipeline.py:806-811)")
+            pooled = pooled_prompt_embeds
+        if negative_prompt_embeds is None:
+            neg_embeds, neg_pooled = encode_prompt_sdxl(
+                m, params, neg_ids_l, neg_ids_g, clip_skip=clip_skip)
+        else:
+            if negative_pooled_prompt_embeds is None:
+                raise ValueError("negative_prompt_embeds requires "
+                                 "negative_pooled_prompt_embeds")
+            neg_embeds = negative_prompt_embeds
+            neg_pooled = negative_pooled_prompt_embeds
+        if cloth_prompt_embeds is None:
+            cloth_embeds, _ = encode_prompt_sdxl(
+                m, params, cloth_ids_l, cloth_ids_g, clip_skip=clip_skip)
+        else:
+            cloth_embeds = cloth_prompt_embeds
 
         # ---- IP-Adapter image path: ViT-H penultimate -> resampler, with a
         # zeros-image uncond branch (reference: tryon_pipeline.py:469-482)
@@ -240,9 +278,12 @@ class TryonPipeline:
 
         # ---- VAE encodes (masked person, pose, cloth); vae_sample=False
         # uses the posterior mode (deterministic — golden-parity fixtures)
-        masked_person = person * (mask < 0.5).astype(dtype)
-        masked_lat = vae_encode(params["vae"], m.vae_cfg, masked_person,
-                                rng=rngs[0], sample=vae_sample)
+        if masked_image_latents is not None:
+            masked_lat = masked_image_latents.astype(dtype)
+        else:
+            masked_person = person * (mask < 0.5).astype(dtype)
+            masked_lat = vae_encode(params["vae"], m.vae_cfg, masked_person,
+                                    rng=rngs[0], sample=vae_sample)
         pose_lat = vae_encode(params["vae"], m.vae_cfg, pose, rng=rngs[1],
                               sample=vae_sample)
         cloth_lat = vae_encode(params["vae"], m.vae_cfg, cloth, rng=rngs[2],
@@ -308,15 +349,33 @@ class TryonPipeline:
             dtype = person.dtype
             r_vae, _ = jax.random.split(rng)
 
-            ids_l = jnp.concatenate([inputs["prompt_ids_l"],
-                                     inputs["neg_ids_l"],
-                                     inputs["cloth_ids_l"]], axis=0)
-            ids_g = jnp.concatenate([inputs["prompt_ids_g"],
-                                     inputs["neg_ids_g"],
-                                     inputs["cloth_ids_g"]], axis=0)
-            embeds, pooled = text_fn(params, ids_l, ids_g)
-            prompt_embeds, neg_embeds, cloth_embeds = jnp.split(embeds, 3)
-            pooled_p, pooled_n, _ = jnp.split(pooled, 3)
+            if inputs.get("prompt_embeds") is not None:
+                # precomputed-embeds convention (inference.py:364-397): the
+                # batched text-tower pass needs all three slots, so embeds
+                # here are all-or-nothing (per-slot mixing: use
+                # encode_conditioning)
+                need = ("pooled_prompt_embeds", "negative_prompt_embeds",
+                        "negative_pooled_prompt_embeds", "cloth_prompt_embeds")
+                missing = [k for k in need if inputs.get(k) is None]
+                if missing:
+                    raise ValueError(
+                        f"prompt_embeds passthrough via the staged encoder "
+                        f"requires all of {need}; missing {missing}")
+                prompt_embeds = inputs["prompt_embeds"]
+                pooled_p = inputs["pooled_prompt_embeds"]
+                neg_embeds = inputs["negative_prompt_embeds"]
+                pooled_n = inputs["negative_pooled_prompt_embeds"]
+                cloth_embeds = inputs["cloth_prompt_embeds"]
+            else:
+                ids_l = jnp.concatenate([inputs["prompt_ids_l"],
+                                         inputs["neg_ids_l"],
+                                         inputs["cloth_ids_l"]], axis=0)
+                ids_g = jnp.concatenate([inputs["prompt_ids_g"],
+                                         inputs["neg_ids_g"],
+                                         inputs["cloth_ids_g"]], axis=0)
+                embeds, pooled = text_fn(params, ids_l, ids_g)
+                prompt_embeds, neg_embeds, cloth_embeds = jnp.split(embeds, 3)
+                pooled_p, pooled_n, _ = jnp.split(pooled, 3)
 
             ip_pixels = inputs["ip_pixels"]
             ip_tokens = vision_resampler_fn(
@@ -324,10 +383,18 @@ class TryonPipeline:
                                          ip_pixels], axis=0))
             ip_uncond, ip_cond = jnp.split(ip_tokens, 2)
 
-            masked_person = person * (mask < 0.5).astype(dtype)
-            lats = vae_fn(params, jnp.concatenate(
-                [masked_person, inputs["pose"], inputs["cloth"]], axis=0), r_vae)
-            masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
+            masked_lat_in = inputs.get("masked_image_latents")
+            if masked_lat_in is not None:
+                lats = vae_fn(params, jnp.concatenate(
+                    [inputs["pose"], inputs["cloth"]], axis=0), r_vae)
+                pose_lat, cloth_lat = jnp.split(lats, 2)
+                masked_lat = masked_lat_in.astype(dtype)
+            else:
+                masked_person = person * (mask < 0.5).astype(dtype)
+                lats = vae_fn(params, jnp.concatenate(
+                    [masked_person, inputs["pose"], inputs["cloth"]],
+                    axis=0), r_vae)
+                masked_lat, pose_lat, cloth_lat = jnp.split(lats, 3)
             mask_lat = mask_fn(mask, lat_hw).astype(dtype)
 
             context = jnp.concatenate([
@@ -410,8 +477,14 @@ class TryonPipeline:
                 denoising_start: Optional[float] = None,
                 denoising_end: Optional[float] = None,
                 latents_in=None,
+                timesteps=None,
                 impl: Optional[str] = None):
         """The 30-step loop as one lax.scan. Returns final latents.
+
+        timesteps: explicit descending timestep list (reference ``timesteps``
+        kwarg via retrieve_timesteps, tryon_pipeline.py:264-302,:1561) —
+        overrides num_steps' spacing formula; see
+        DDPMScheduler.timesteps(custom_timesteps=...).
 
         garment_cache: "every_step" recomputes GarmentNet per step (reference
         semantics — its resnets are time-conditioned); "once" computes the
@@ -440,8 +513,12 @@ class TryonPipeline:
         denoising_end set, the loop stops early and returns the
         partially-denoised latents for a successor with
         denoising_start = this denoising_end; chaining is bit-exact to the
-        unsplit run given the same injected noises.
+        unsplit run given the same injected noises. Values outside (0, 1)
+        are IGNORED (reference denoising_value_valid,
+        tryon_pipeline.py:1586-1589); start >= end raises.
         """
+        denoising_start, denoising_end = check_denoising_range(
+            denoising_start, denoising_end)
         sched = self.scheduler
         init_rng, steps_rng = jax.random.split(rng)
         dtype = dtype or cond["masked_lat"].dtype
@@ -449,7 +526,8 @@ class TryonPipeline:
             init_noise = jax.random.normal(init_rng, latent_shape, jnp.float32)
         init_noise = init_noise.astype(dtype)
         ts, prev_ts = sched.timesteps_and_prev(
-            num_steps, strength, denoising_start, denoising_end)
+            num_steps, strength, denoising_start, denoising_end,
+            custom_timesteps=timesteps)
         n_steps = int(ts.shape[0])
 
         if denoising_start is not None:
@@ -521,10 +599,17 @@ class TryonPipeline:
 
     def generate(self, params: dict, rng, *,
                  person, mask, pose, cloth,
-                 prompt_ids_l, prompt_ids_g,
-                 neg_ids_l, neg_ids_g,
-                 cloth_ids_l, cloth_ids_g,
-                 ip_pixels,
+                 prompt_ids_l=None, prompt_ids_g=None,
+                 neg_ids_l=None, neg_ids_g=None,
+                 cloth_ids_l=None, cloth_ids_g=None,
+                 ip_pixels=None,
+                 prompt_embeds=None, pooled_prompt_embeds=None,
+                 negative_prompt_embeds=None,
+                 negative_pooled_prompt_embeds=None,
+                 cloth_prompt_embeds=None,
+                 masked_image_latents=None,
+                 timesteps=None,
+                 eta: float = 0.0,
                  num_steps: int = 30,
                  guidance_scale: float = 2.0,
                  guidance_rescale: float = 0.0,
@@ -539,7 +624,8 @@ class TryonPipeline:
                  clip_skip: Optional[int] = None,
                  denoising_start: Optional[float] = None,
                  denoising_end: Optional[float] = None,
-                 latents_in=None):
+                 latents_in=None,
+                 output_type: str = "image"):
         """Returns images (B*num_images_per_prompt, H, W, 3) in [-1, 1].
 
         init_noise / step_noise: golden-parity noise injection (see denoise).
@@ -551,7 +637,20 @@ class TryonPipeline:
         :710-730); injected noises must already be (B*n, ...)-shaped.
         clip_skip / denoising_start / denoising_end / latents_in: see
         encode_prompt_sdxl / denoise.
+        prompt_embeds/pooled_prompt_embeds/negative_*/cloth_prompt_embeds/
+        masked_image_latents: precomputed-conditioning passthrough (see
+        encode_conditioning). timesteps: explicit schedule (see denoise).
+        eta: accepted for signature parity (tryon_pipeline.py:1273); the
+        reference's prepare_extra_step_kwargs (:746) drops it for DDPM
+        (eta is DDIM-only), so it is inert here too.
+        output_type: "image" (default, VAE-decoded [-1, 1]) or "latent"
+        (skip the decode and return the raw latents — the reference's
+        output_type='latent' base→refiner handoff,
+        src/tryon_pipeline.py:1868-1870; feed them to a successor run's
+        ``latents_in`` with denoising_start = this run's denoising_end).
         """
+        denoising_start, denoising_end = check_denoising_range(
+            denoising_start, denoising_end)
         m = self.models
         b, img_h, img_w, _ = person.shape
         lat_h, lat_w = img_h // m.vae_cfg.downscale, img_w // m.vae_cfg.downscale
@@ -562,7 +661,13 @@ class TryonPipeline:
             neg_ids_l=neg_ids_l, neg_ids_g=neg_ids_g,
             cloth_ids_l=cloth_ids_l, cloth_ids_g=cloth_ids_g,
             ip_pixels=ip_pixels, vae_sample=vae_sample,
-            micro_conditioning=micro_conditioning, clip_skip=clip_skip)
+            micro_conditioning=micro_conditioning, clip_skip=clip_skip,
+            prompt_embeds=prompt_embeds,
+            pooled_prompt_embeds=pooled_prompt_embeds,
+            negative_prompt_embeds=negative_prompt_embeds,
+            negative_pooled_prompt_embeds=negative_pooled_prompt_embeds,
+            cloth_prompt_embeds=cloth_prompt_embeds,
+            masked_image_latents=masked_image_latents)
         cond = replicate_cond(cond, num_images_per_prompt)
         image_latents = None
         if strength < 1.0 or inpaint_blend or denoising_start is not None:
@@ -584,7 +689,9 @@ class TryonPipeline:
             image_latents=image_latents, inpaint_blend=inpaint_blend,
             init_noise=init_noise, step_noise=step_noise,
             denoising_start=denoising_start, denoising_end=denoising_end,
-            latents_in=latents_in, impl=impl)
+            latents_in=latents_in, timesteps=timesteps, impl=impl)
+        if output_type == "latent":
+            return latents
         return self.decode(params, latents)
 
     def jit_generate(self, *, num_steps: int = 30, guidance_scale: float = 2.0,
@@ -595,18 +702,26 @@ class TryonPipeline:
                      num_images_per_prompt: int = 1,
                      clip_skip: Optional[int] = None,
                      denoising_start: Optional[float] = None,
-                     denoising_end: Optional[float] = None):
+                     denoising_end: Optional[float] = None,
+                     output_type: str = "image",
+                     timesteps=None):
         """Returns jitted fn(params, rng, **tensor_kwargs) -> images —
         everything (encoders, 30-step scan, decode) in ONE program.
-        Accepts optional init_noise=/step_noise= (golden parity) and
-        latents_in= (denoising_start handoff) tensor kwargs."""
+        Accepts optional init_noise=/step_noise= (golden parity),
+        latents_in= (denoising_start handoff), and the precomputed-
+        conditioning passthrough (prompt_embeds & co, masked_image_latents)
+        as tensor kwargs. output_type="latent" skips the decode (refiner
+        handoff); timesteps= is the explicit-schedule list (both static,
+        see generate)."""
         gen = functools.partial(
             self.generate, num_steps=num_steps, guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale, strength=strength,
             inpaint_blend=inpaint_blend, vae_sample=vae_sample, impl=impl,
             micro_conditioning=micro_conditioning,
             num_images_per_prompt=num_images_per_prompt, clip_skip=clip_skip,
-            denoising_start=denoising_start, denoising_end=denoising_end)
+            denoising_start=denoising_start, denoising_end=denoising_end,
+            output_type=output_type,
+            timesteps=tuple(timesteps) if timesteps is not None else None)
         return jax.jit(gen)
 
     def stepwise_generate(self, *, num_steps: int = 30,
@@ -622,7 +737,9 @@ class TryonPipeline:
                           clip_skip: Optional[int] = None,
                           denoising_start: Optional[float] = None,
                           denoising_end: Optional[float] = None,
-                          callback_on_step_end=None):
+                          callback_on_step_end=None,
+                          output_type: str = "image",
+                          timesteps=None):
         """Returns fn(params, rng, **tensor_kwargs) -> images built from
         small jitted programs: staged per-tower encode, a python loop over
         the jitted denoise step (donated latents), jitted decode.
@@ -633,7 +750,13 @@ class TryonPipeline:
 
         Optional tensor kwargs init_noise= / step_noise= inject the initial
         and per-step DDPM noises (golden-parity hook, SURVEY §7); latents_in=
-        is the denoising_start handoff (see denoise).
+        is the denoising_start handoff (see denoise). With denoising_start
+        set and latents_in omitted, the initial latents are the person-image
+        VAE latents UN-noised — same as generate() and the reference's
+        prepare_latents(add_noise=False) fallback (tryon_pipeline.py:1609);
+        callers chaining a real base→refiner handoff must pass latents_in.
+        output_type="latent" skips the decode (refiner handoff, see
+        generate).
 
         callback_on_step_end(pipeline, i, t, {"latents": lat}) runs on the
         HOST after each denoise step, mirroring the reference's hook
@@ -664,8 +787,11 @@ class TryonPipeline:
         ).astype(lat.dtype))
 
         import numpy as np
+        denoising_start, denoising_end = check_denoising_range(
+            denoising_start, denoising_end)
         ts_j, prev_j = sched.timesteps_and_prev(
-            num_steps, strength, denoising_start, denoising_end)
+            num_steps, strength, denoising_start, denoising_end,
+            custom_timesteps=timesteps)
         ts, prev_ts = np.asarray(ts_j), np.asarray(prev_j)
 
         def fn(params, rng, *, init_noise=None, step_noise=None,
@@ -713,6 +839,8 @@ class TryonPipeline:
                     cb_out = callback_on_step_end(
                         self, i, int(ts[i]), {"latents": lat}) or {}
                     lat = cb_out.pop("latents", lat)
+            if output_type == "latent":
+                return lat
             return decode(params, lat)
 
         return fn

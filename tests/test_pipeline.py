@@ -245,6 +245,65 @@ def test_timesteps_denoising_start_end_reference_formula():
     np.testing.assert_array_equal(ts_s, full[k:])
 
 
+def test_denoising_values_outside_unit_interval_ignored():
+    """Reference denoising_value_valid (src/tryon_pipeline.py:1586-1589):
+    start/end outside (0, 1) are IGNORED — the strength path applies — and a
+    valid start >= valid end raises (advisor r4 #1: denoising_start=1.0 must
+    not silently return the input latents)."""
+    import pytest
+    from idmvton_tpu.core.config import SchedulerConfig
+    from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+
+    sched = DDPMScheduler(SchedulerConfig.sdxl_inference())
+    num = 10
+    full = np.asarray(sched.timesteps(num))
+    for bad in (0.0, 1.0, 1.5, -0.2):
+        np.testing.assert_array_equal(
+            np.asarray(sched.timesteps(num, denoising_start=bad)), full)
+        np.testing.assert_array_equal(
+            np.asarray(sched.timesteps(num, denoising_end=bad)), full)
+        # ignored start -> strength truncation applies again
+        np.testing.assert_array_equal(
+            np.asarray(sched.timesteps(num, strength=0.5,
+                                       denoising_start=bad)),
+            np.asarray(sched.timesteps(num, strength=0.5)))
+    with pytest.raises(ValueError):
+        sched.timesteps(num, denoising_start=0.7, denoising_end=0.3)
+    with pytest.raises(ValueError):
+        sched.timesteps_and_prev(num, denoising_start=0.5, denoising_end=0.5)
+
+
+def test_output_type_latent_refiner_handoff():
+    """output_type='latent' (reference :1868-1870) returns the raw latents
+    from generate/stepwise; decoding them reproduces the default output, so
+    a base->refiner chain can ride the public API (advisor r4 #2)."""
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w, num = 1, 32, 32, 2
+    inputs = _tiny_inputs(b, h, w, models)
+    lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
+    lshape = (b, *lat_hw, models.vae_cfg.latent_channels)
+    init_noise = jax.random.normal(jax.random.PRNGKey(7), lshape, jnp.float32)
+    step_noise = jax.random.normal(jax.random.PRNGKey(8), (num, *lshape),
+                                   jnp.float32)
+    kw = dict(init_noise=init_noise, step_noise=step_noise)
+
+    img = pipe.jit_generate(num_steps=num, vae_sample=False)(
+        models.params(), jax.random.PRNGKey(1), **inputs, **kw)
+    lat = pipe.jit_generate(num_steps=num, vae_sample=False,
+                            output_type="latent")(
+        models.params(), jax.random.PRNGKey(1), **inputs, **kw)
+    assert lat.shape == lshape
+    np.testing.assert_allclose(
+        np.asarray(pipe.decode(models.params(), lat), np.float32),
+        np.asarray(img, np.float32), atol=2e-5)
+
+    lat_sw = pipe.stepwise_generate(num_steps=num, vae_sample=False,
+                                    output_type="latent")(
+        models.params(), jax.random.PRNGKey(1), **inputs, **kw)
+    assert lat_sw.shape == lshape
+
+
 def test_denoising_split_chain_bit_exact():
     """base(denoising_end=x) -> refiner(denoising_start=x) equals the unsplit
     run exactly, given the same injected noises (the reference's documented
@@ -367,3 +426,100 @@ def test_callback_on_step_end():
                                  callback_on_step_end=override)(
         models.params(), jax.random.PRNGKey(1), **inputs)
     assert float(jnp.abs(out - base).max()) > 1e-5
+
+
+def test_custom_timesteps_schedule():
+    """Explicit `timesteps` list (reference retrieve_timesteps,
+    src/tryon_pipeline.py:264-302, __call__ :1266): the scheduler adopts the
+    list verbatim, prev derives from it, validation rejects non-descending
+    input, and a generate() run with the default schedule passed explicitly
+    is bit-identical to the num_steps run."""
+    import pytest
+    from idmvton_tpu.core.config import SchedulerConfig
+    from idmvton_tpu.diffusion.scheduler import DDPMScheduler
+
+    sched = DDPMScheduler(SchedulerConfig.sdxl_inference())
+    got = np.asarray(sched.timesteps(0, custom_timesteps=[900, 600, 300]))
+    np.testing.assert_array_equal(got, [900, 600, 300])
+    ts, prev = sched.timesteps_and_prev(0, custom_timesteps=[900, 600, 300])
+    np.testing.assert_array_equal(np.asarray(prev), [600, 300, -1])
+    # strength truncation uses len(timesteps) as num_inference_steps
+    got = np.asarray(sched.timesteps(0, strength=0.5,
+                                     custom_timesteps=[901, 601, 301, 10]))
+    np.testing.assert_array_equal(got, [301, 10])
+    for bad in ([300, 600], [], [1200, 600]):
+        with pytest.raises(ValueError):
+            sched.timesteps(0, custom_timesteps=bad)
+
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w, num = 1, 32, 32, 2
+    inputs = _tiny_inputs(b, h, w, models)
+    lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
+    lshape = (b, *lat_hw, models.vae_cfg.latent_channels)
+    kw = dict(
+        init_noise=jax.random.normal(jax.random.PRNGKey(7), lshape,
+                                     jnp.float32),
+        step_noise=jax.random.normal(jax.random.PRNGKey(8), (num, *lshape),
+                                     jnp.float32))
+    default_ts = [int(t) for t in np.asarray(pipe.scheduler.timesteps(num))]
+    a = pipe.jit_generate(num_steps=num, vae_sample=False)(
+        models.params(), jax.random.PRNGKey(1), **inputs, **kw)
+    c = pipe.jit_generate(num_steps=num, vae_sample=False,
+                          timesteps=default_ts)(
+        models.params(), jax.random.PRNGKey(1), **inputs, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_precomputed_conditioning_passthrough():
+    """The reference's served calling convention (inference.py:364-397
+    computes encode_prompt OUTSIDE and passes embeds into __call__,
+    tryon_pipeline.py:1276-1285; masked_image_latents :1260): passing
+    precomputed prompt/negative/cloth embeds + pooled companions and
+    masked-image latents reproduces the ids path exactly, through BOTH the
+    fused generate and the staged/stepwise encoder. eta (inert for DDPM,
+    :746) is accepted."""
+    from idmvton_tpu.models.vae import vae_encode
+    from idmvton_tpu.pipeline.tryon import encode_prompt_sdxl
+
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    params = models.params()
+    b, h, w, num = 1, 32, 32, 2
+    inputs = _tiny_inputs(b, h, w, models)
+    lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
+    lshape = (b, *lat_hw, models.vae_cfg.latent_channels)
+    kw = dict(
+        init_noise=jax.random.normal(jax.random.PRNGKey(7), lshape,
+                                     jnp.float32),
+        step_noise=jax.random.normal(jax.random.PRNGKey(8), (num, *lshape),
+                                     jnp.float32))
+
+    pe, pooled = encode_prompt_sdxl(models, params, inputs["prompt_ids_l"],
+                                    inputs["prompt_ids_g"])
+    ne, npooled = encode_prompt_sdxl(models, params, inputs["neg_ids_l"],
+                                     inputs["neg_ids_g"])
+    ce, _ = encode_prompt_sdxl(models, params, inputs["cloth_ids_l"],
+                               inputs["cloth_ids_g"])
+    masked = inputs["person"] * (inputs["mask"] < 0.5).astype(DTYPE)
+    mlat = vae_encode(params["vae"], models.vae_cfg, masked, rng=None,
+                      sample=False)
+    embeds_inputs = {k: v for k, v in inputs.items() if "ids" not in k}
+    embeds_inputs.update(
+        prompt_embeds=pe, pooled_prompt_embeds=pooled,
+        negative_prompt_embeds=ne, negative_pooled_prompt_embeds=npooled,
+        cloth_prompt_embeds=ce, masked_image_latents=mlat)
+
+    want = pipe.jit_generate(num_steps=num, vae_sample=False)(
+        params, jax.random.PRNGKey(1), **inputs, **kw)
+    got = pipe.jit_generate(num_steps=num, vae_sample=False)(
+        params, jax.random.PRNGKey(1), eta=0.7, **embeds_inputs, **kw)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=2e-5)
+
+    want_sw = pipe.stepwise_generate(num_steps=num, vae_sample=False)(
+        params, jax.random.PRNGKey(1), **inputs, **kw)
+    got_sw = pipe.stepwise_generate(num_steps=num, vae_sample=False)(
+        params, jax.random.PRNGKey(1), **embeds_inputs, **kw)
+    np.testing.assert_allclose(np.asarray(got_sw, np.float32),
+                               np.asarray(want_sw, np.float32), atol=2e-5)
