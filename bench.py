@@ -358,6 +358,15 @@ def main():
     p_unet = finit(lambda k: init_unet(k, unet_cfg, dtype=dtype), 15)
     p_garm = finit(lambda k: init_unet(k, garm_cfg, dtype=dtype), 16)
 
+    if os.environ.get("IDMVTON_GEMM_INT8", "0") == "1":
+        # W8A8 int8 on the TryonNet's ln_linear sites (ops/quant.py) — A/B
+        # knob, default OFF; quality bound in tests/test_pipeline.py
+        from idmvton_tpu.ops.quant import quantize_unet_linears_int8
+        t0 = time.time()
+        p_unet = quantize_unet_linears_int8(p_unet)
+        sync(p_unet)
+        log(f"  int8-quantized tryon ln_linear sites ({time.time()-t0:.1f}s)")
+
     guidance = 2.0
 
     # donate lat: steps chain in-place; per-step sync below keeps at most one

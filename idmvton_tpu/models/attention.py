@@ -91,24 +91,36 @@ def self_attention(params, x, *, heads: int,
     materialized, projected, or attended.
     """
     from idmvton_tpu.ops.dispatch import resolve
-    from idmvton_tpu.ops.pallas_norm import ln_linear, ln_linear_supported
+    from idmvton_tpu.ops.pallas_norm import (
+        ln_linear, ln_linear_supported, proj_kernel, dequantize_int8,
+    )
     b, s, _ = x.shape
     inner = params["to_out"]["kernel"].shape[0]
+    to_qkv = params["to_qkv"]
+    quantized = "kernel_i8" in to_qkv
     if norm is not None and resolve(impl) == "pallas" and \
-            ln_linear_supported(x, params["to_qkv"]["kernel"]):
-        # fused pre-attention LayerNorm + QKV projection (one x read)
-        qkv = ln_linear(x, norm, params["to_qkv"])
+            ln_linear_supported(x, proj_kernel(to_qkv)):
+        # fused pre-attention LayerNorm + QKV projection (one x read);
+        # int8-quantized params route through the W8A8 kernel inside
+        qkv = ln_linear(x, norm, to_qkv)
     else:
         if norm is not None:
             x = layer_norm(norm, x)
-        qkv = linear(params["to_qkv"], x)        # (B, N, 3*inner)
+        qkv = linear(dequantize_int8(to_qkv, x.dtype) if quantized
+                     else to_qkv, x)             # (B, N, 3*inner)
 
     kv_g = None
     if garment_feat is not None:
         # garment tokens only ever contribute K/V — project with the KV
-        # columns of the fused weight (their Q projection is never used)
-        kv_w = {"kernel": params["to_qkv"]["kernel"][:, inner:]}
-        kv_g = linear(kv_w, garment_feat.astype(x.dtype))  # (Bg, M, 2*inner)
+        # columns of the fused weight (their Q projection is never used).
+        # For int8 params this GEMM stays bf16 (XLA fuses the dequant into
+        # the weight load) — it is not an ln_linear site.
+        if quantized:
+            wk = (to_qkv["kernel_i8"][:, inner:].astype(jnp.float32)
+                  * to_qkv["kernel_scale"][None, inner:]).astype(x.dtype)
+        else:
+            wk = to_qkv["kernel"][:, inner:]
+        kv_g = linear({"kernel": wk}, garment_feat.astype(x.dtype))
 
     from idmvton_tpu.ops.pallas_attention import (
         flash_attention_gemm, flash_attention_gemm_supported,
@@ -214,15 +226,20 @@ def init_feedforward(key, dim: int, *, mult: int = 4, dtype=jnp.bfloat16):
 def feedforward(params, x, *, norm: Optional[dict] = None,
                 impl: Optional[str] = None):
     from idmvton_tpu.ops.dispatch import resolve
-    from idmvton_tpu.ops.pallas_norm import ln_linear, ln_linear_supported
+    from idmvton_tpu.ops.pallas_norm import (
+        ln_linear, ln_linear_supported, proj_kernel, dequantize_int8,
+    )
+    proj_in = params["proj_in"]
     if norm is not None and resolve(impl) == "pallas" and \
-            ln_linear_supported(x, params["proj_in"]["kernel"], geglu=True):
+            ln_linear_supported(x, proj_kernel(proj_in), geglu=True):
         # fused LN + proj_in + GEGLU: skips the (.., 2*4C) HBM round-trip
-        h = ln_linear(x, norm, params["proj_in"], geglu=True)
+        h = ln_linear(x, norm, proj_in, geglu=True)
         return linear(params["proj_out"], h)
     if norm is not None:
         x = layer_norm(norm, x)
-    h = linear(params["proj_in"], x)
+    if "kernel_i8" in proj_in:
+        proj_in = dequantize_int8(proj_in, x.dtype)
+    h = linear(proj_in, x)
     value, gate = jnp.split(h, 2, axis=-1)
     h = value * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
     return linear(params["proj_out"], h)

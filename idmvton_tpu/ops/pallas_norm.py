@@ -199,6 +199,22 @@ def _pick_block_n(n_out: int, cap: int = 640) -> int:
     return best
 
 
+def _pick_block_m(m: int, block_m: int) -> int:
+    """Largest row block <= block_m; prefers one that DIVIDES m exactly.
+    The r5 step trace showed the garment tower's 1280-ch sites (m=1536)
+    padding to 2*1024 under the flat 1024 default — +33% wasted MXU work
+    plus a pad+unpad copy chain (~4 ms/step total); bm=768 there is
+    measured near-optimal (ab_step: 1024 -> 229.3 ms, 768 -> 230.1 at the
+    divisible sites) and removes the waste entirely."""
+    bm = min(block_m, -(-m // 8) * 8)
+    if m % bm == 0:
+        return bm
+    for cand in range(bm - 8, 255, -8):
+        if m % cand == 0:
+            return cand
+    return bm
+
+
 def _ln_mm_forward(x, gamma, beta, w, b, eps, geglu, gelu_tanh, block_m):
     orig = x.shape
     c = x.shape[-1]
@@ -207,7 +223,7 @@ def _ln_mm_forward(x, gamma, beta, w, b, eps, geglu, gelu_tanh, block_m):
     two = 2 if geglu else 1
     n_out = w.shape[1] // two
     bn = _pick_block_n(n_out)
-    bm = min(block_m, -(-m // 8) * 8)
+    bm = _pick_block_m(m, block_m)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
@@ -308,8 +324,21 @@ def ln_linear(x, norm_params, proj_params, *, eps: float = 1e-5,
 
     proj_params["kernel"]: (C, N) — or (C, 2N) for geglu, laid out
     [value | gate] like ff.proj_in (reference GEGLU, attention.py FF).
+    A projection quantized by ops.quant.quantize_linear_int8 (kernel_i8 +
+    kernel_scale instead of kernel) routes through the W8A8 int8 MXU kernel.
     Falls back to the unfused XLA expression off-TPU-support.
     """
+    if "kernel_i8" in proj_params:
+        w_i8 = proj_params["kernel_i8"]
+        b = proj_params.get("bias")
+        if not ln_linear_supported(x, w_i8, geglu=geglu):
+            dq = dequantize_int8(proj_params, x.dtype)
+            return _ln_mm_xla(x, norm_params["scale"], norm_params["bias"],
+                              dq["kernel"], b, eps, geglu, gelu_tanh)
+        return _ln_mm_core_i8(x, norm_params["scale"], norm_params["bias"],
+                              w_i8, proj_params["kernel_scale"], b,
+                              eps, geglu, gelu_tanh,
+                              block_m or DEFAULT_LN_MM_BLOCK_M)
     w = proj_params["kernel"]
     b = proj_params.get("bias")
     if not ln_linear_supported(x, w, geglu=geglu):
@@ -327,6 +356,208 @@ def ln_linear_supported(x, w, *, geglu: bool = False) -> bool:
     return (c % _LANE == 0 and n_out % _LANE == 0
             and w.shape[1] == two * n_out
             and _pick_block_n(n_out) > 0)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 int8 LN+GEMM (r4 verdict #3)
+#
+# v5e's MXU runs s8 x s8 -> s32 at 2x the bf16 rate (394 vs 197 TOP/s), and
+# the ln_linear sites are the largest already-near-peak GEMM bucket
+# (50.1 + 24.0 ms/step at 85-90% bf16 MFU). Weight-only int8 cannot help
+# here — weight bytes are <5% of these GEMMs' time — so this is the full
+# W8A8 path: weights pre-quantized per OUTPUT CHANNEL (symmetric, scale =
+# absmax/127), activations quantized per ROW (token) dynamically inside the
+# kernel right after the LayerNorm (whose output is zero-mean/unit-var —
+# the friendliest possible int8 input), int32 accumulate, fp32 dequant
+# epilogue (row_scale * col_scale), optional GEGLU epilogue unchanged.
+#
+# Default OFF (IDMVTON_GEMM_INT8): ship only with the measured busy-ms delta
+# AND the tiny-model SSIM bound recorded in PARITY.md (same honesty pattern
+# as garment_cache).
+# ---------------------------------------------------------------------------
+
+
+def _ln_mm_kernel_i8(x_ref, g_ref, b_ref, *rest, eps: float, c: int,
+                     geglu: bool, gelu_tanh: bool):
+    if geglu:
+        wa_ref, wb_ref, sa_ref, sb_ref, ba_ref, bb_ref, o_ref = rest[:7]
+        xq_ref, rs_ref = rest[7:9]
+    else:
+        wa_ref, sa_ref, ba_ref, o_ref = rest[:4]
+        xq_ref, rs_ref = rest[4:6]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _stats_quant():
+        bm = x_ref.shape[0]
+        acc1 = jnp.zeros((bm, _LANE), jnp.float32)
+        acc2 = jnp.zeros((bm, _LANE), jnp.float32)
+        for gi in range(c // _LANE):
+            xg = x_ref[:, gi * _LANE:(gi + 1) * _LANE].astype(jnp.float32)
+            acc1 = acc1 + xg
+            acc2 = acc2 + xg * xg
+        mean = jnp.sum(acc1, axis=-1, keepdims=True) / c
+        var = jnp.maximum(jnp.sum(acc2, axis=-1, keepdims=True) / c
+                          - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        # pass 2: row absmax of the NORMALIZED values (lane-group max)
+        amax = jnp.zeros((bm, _LANE), jnp.float32)
+        for gi in range(c // _LANE):
+            sl = slice(gi * _LANE, (gi + 1) * _LANE)
+            xg = x_ref[:, sl].astype(jnp.float32)
+            xn = (xg - mean) * inv * g_ref[0, sl] + b_ref[0, sl]
+            amax = jnp.maximum(amax, jnp.abs(xn))
+        row_scale = jnp.maximum(jnp.max(amax, axis=-1, keepdims=True),
+                                1e-8) / 127.0
+        rs_ref[:] = jnp.broadcast_to(row_scale, rs_ref.shape)
+        rcp = 1.0 / row_scale
+        # pass 3: recompute + quantize (3 VMEM passes beat a second fp
+        # scratch: VMEM bandwidth is not the bottleneck here, the MXU is)
+        for gi in range(c // _LANE):
+            sl = slice(gi * _LANE, (gi + 1) * _LANE)
+            xg = x_ref[:, sl].astype(jnp.float32)
+            xn = (xg - mean) * inv * g_ref[0, sl] + b_ref[0, sl]
+            q = jnp.clip(jnp.round(xn * rcp), -127.0, 127.0)
+            xq_ref[:, sl] = q.astype(jnp.int8)
+
+    xq = xq_ref[:]
+    rs = rs_ref[:, 0:1]
+    acc = jax.lax.dot_general(
+        xq, wa_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    val = (acc.astype(jnp.float32) * rs * sa_ref[0][None, :]
+           + ba_ref[0][None, :])
+    if geglu:
+        acc_g = jax.lax.dot_general(
+            xq, wb_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        gate = (acc_g.astype(jnp.float32) * rs * sb_ref[0][None, :]
+                + bb_ref[0][None, :])
+        if gelu_tanh:
+            gact = jax.nn.gelu(gate, approximate=True)
+        else:
+            gact = _gelu_erf(gate)
+        val = val * gact
+    o_ref[:] = val.astype(o_ref.dtype)
+
+
+def _ln_mm_forward_i8(x, gamma, beta, w_i8, w_scale, b, eps, geglu,
+                      gelu_tanh, block_m):
+    orig = x.shape
+    c = x.shape[-1]
+    xf = x.reshape(-1, c)
+    m = xf.shape[0]
+    two = 2 if geglu else 1
+    n_out = w_i8.shape[1] // two
+    bn = _pick_block_n(n_out)
+    bm = _pick_block_m(m, block_m)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+
+    grid = (m_pad // bm, n_out // bn)
+    g2 = gamma.reshape(1, c).astype(jnp.float32)
+    b2 = beta.reshape(1, c).astype(jnp.float32)
+    scale = w_scale.reshape(1, -1).astype(jnp.float32)
+    bias = (jnp.zeros((w_i8.shape[1],), jnp.float32) if b is None
+            else b.astype(jnp.float32)).reshape(1, -1)
+
+    in_specs = [
+        pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((c, bn), lambda i, j: (0, j)),
+    ]
+    inputs = [xf, g2, b2, w_i8]
+    steps = n_out // bn
+    if geglu:
+        in_specs.append(pl.BlockSpec((c, bn), lambda i, j: (0, j + steps)))
+        inputs.append(w_i8)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+        inputs.append(scale)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j + steps)))
+        inputs.append(scale)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+        inputs.append(bias)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j + steps)))
+        inputs.append(bias)
+    else:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+        inputs.append(scale)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+        inputs.append(bias)
+
+    out = pl.pallas_call(
+        functools.partial(_ln_mm_kernel_i8, eps=eps, c=c, geglu=geglu,
+                          gelu_tanh=gelu_tanh),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.int8),
+                        pltpu.VMEM((bm, _LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=LN_MM_VMEM_LIMIT_MB * 1024 * 1024,
+        ) if jax.default_backend() == "tpu" else None,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * c * n_out * two,
+            bytes_accessed=(xf.size * 2 + w_i8.size * grid[0])
+            + m_pad * n_out * 2,
+            transcendentals=m_pad * n_out if geglu else 0,
+        ),
+        interpret=(jax.default_backend() != "tpu"),
+    )(*inputs)
+    return out[:m].reshape(*orig[:-1], n_out)
+
+
+def dequantize_int8(proj_params, dtype):
+    """bf16 view of an int8-quantized projection (fallback paths; XLA fuses
+    the convert+scale into the consuming GEMM's weight load)."""
+    w = (proj_params["kernel_i8"].astype(jnp.float32)
+         * proj_params["kernel_scale"].reshape(1, -1)).astype(dtype)
+    out = {"kernel": w}
+    if "bias" in proj_params:
+        out["bias"] = proj_params["bias"]
+    return out
+
+
+def proj_kernel(proj_params):
+    """The (C, N) kernel array of a maybe-quantized projection (for shape
+    checks)."""
+    return proj_params.get("kernel", proj_params.get("kernel_i8"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _ln_mm_core_i8(x, gamma, beta, w_i8, w_scale, b, eps, geglu, gelu_tanh,
+                   block_m):
+    return _ln_mm_forward_i8(x, gamma, beta, w_i8, w_scale, b, eps, geglu,
+                             gelu_tanh, block_m)
+
+
+def _ln_mm_i8_fwd(x, gamma, beta, w_i8, w_scale, b, eps, geglu, gelu_tanh,
+                  block_m):
+    out = _ln_mm_core_i8(x, gamma, beta, w_i8, w_scale, b, eps, geglu,
+                         gelu_tanh, block_m)
+    return out, (x, gamma, beta, w_i8, w_scale, b)
+
+
+def _ln_mm_i8_bwd(eps, geglu, gelu_tanh, block_m, res, g):
+    # int8 serving is inference-only; the (never-hot) gradient flows through
+    # the dequantized fp expression w.r.t. x/gamma/beta, None for the
+    # quantized weight leaves
+    x, gamma, beta, w_i8, w_scale, b = res
+    w = (w_i8.astype(jnp.float32) * w_scale.reshape(1, -1)).astype(x.dtype)
+    if b is None:
+        _, vjp = jax.vjp(lambda x_, g_, bt_: _ln_mm_xla(
+            x_, g_, bt_, w, None, eps, geglu, gelu_tanh), x, gamma, beta)
+        return vjp(g) + (None, None, None)
+    _, vjp = jax.vjp(lambda x_, g_, bt_, b_: _ln_mm_xla(
+        x_, g_, bt_, w, b_, eps, geglu, gelu_tanh), x, gamma, beta, b)
+    dx, dg, dbt, db = vjp(g)
+    return dx, dg, dbt, None, None, db
+
+
+_ln_mm_core_i8.defvjp(_ln_mm_i8_fwd, _ln_mm_i8_bwd)
 
 
 # ---------------------------------------------------------------------------

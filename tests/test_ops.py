@@ -680,3 +680,83 @@ def test_unet_impl_xla_is_pure_xla(monkeypatch):
         assert calls == [], calls
     finally:
         dispatch.set_default_impl(None)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 int8 LN+GEMM (r4 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _int8_case(m=192, c=256, n=384, geglu=False, seed=0):
+    import jax
+    rng = jax.random.split(jax.random.PRNGKey(seed), 4)
+    x = jax.random.normal(rng[0], (2, m, c), jnp.float32) * 1.7
+    norm = {"scale": 1.0 + 0.1 * jax.random.normal(rng[1], (c,), jnp.float32),
+            "bias": 0.1 * jax.random.normal(rng[2], (c,), jnp.float32)}
+    w = jax.random.normal(rng[3], (c, n * (2 if geglu else 1)),
+                          jnp.float32) * (c ** -0.5)
+    proj = {"kernel": w.astype(jnp.bfloat16),
+            "bias": jnp.linspace(-0.5, 0.5, n * (2 if geglu else 1))
+            .astype(jnp.float32)}
+    return x.astype(jnp.bfloat16), norm, proj
+
+
+def test_ln_linear_int8_matches_fp():
+    """The W8A8 kernel (dynamic per-row activation quant, per-channel weight
+    scales, int32 accumulate) stays within int8 noise of the fp ln_linear."""
+    from idmvton_tpu.ops.pallas_norm import ln_linear
+    from idmvton_tpu.ops.quant import quantize_linear_int8
+
+    for geglu in (False, True):
+        x, norm, proj = _int8_case(geglu=geglu)
+        want = np.asarray(ln_linear(x, norm, proj, geglu=geglu), np.float32)
+        got = np.asarray(ln_linear(x, norm, quantize_linear_int8(proj),
+                                   geglu=geglu), np.float32)
+        scale = np.abs(want).max()
+        err = np.abs(got - want).max() / scale
+        # symmetric 7-bit weights + dynamic rows: relative error ~1e-2
+        assert err < 0.04, (geglu, err)
+        # and it must be a REAL quantized path, not a dequant identity:
+        # fp and int8 must differ (guards against silently skipping quant)
+        assert np.abs(got - want).max() > 0
+
+
+def test_quantize_unet_linears_int8_tree_and_forward():
+    """quantize_unet_linears_int8 hits every attn1.to_qkv + ff.proj_in
+    (kernel_i8 leaves appear, kernels disappear), shares everything else,
+    and the quantized UNet forward stays close to fp."""
+    import jax
+    from idmvton_tpu.core.config import UNetConfig
+    from idmvton_tpu.models.unet import init_unet, unet_apply
+    from idmvton_tpu.ops.quant import quantize_unet_linears_int8
+
+    cfg = UNetConfig.tiny("consume")
+    p = init_unet(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    q = quantize_unet_linears_int8(p)
+
+    flat_q = jax.tree_util.tree_flatten_with_path(q)[0]
+    n_i8 = sum(1 for path, leaf in flat_q
+               if getattr(path[-1], "key", None) == "kernel_i8")
+    assert n_i8 > 0
+    # every block contributes exactly 2 quantized kernels (to_qkv, proj_in)
+    n_blocks = sum(1 for path, leaf in flat_q
+                   if getattr(path[-1], "key", None) == "kernel_scale")
+    assert n_blocks == n_i8
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 13), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7 + 4, 64), jnp.float32)
+    feats = []
+    for lvl, depth in ((1, 2 * 1), (2, 2 * 2), (2, 1 * 2), (2, 3 * 2), (1, 3 * 1)):
+        s = (16 // 2 ** lvl) ** 2
+        ch = cfg.block_out_channels[lvl]
+        feats += [jax.random.normal(jax.random.PRNGKey(10 + len(feats) + i),
+                                    (2, s, ch), jnp.float32) * 0.3
+                  for i in range(depth)]
+    out_fp, _ = unet_apply(p, cfg, x, jnp.int32(500), ctx,
+                           garment_features=tuple(feats), impl="xla")
+    out_i8, _ = unet_apply(q, cfg, x, jnp.int32(500), ctx,
+                           garment_features=tuple(feats), impl="xla")
+    a, b = np.asarray(out_fp, np.float32), np.asarray(out_i8, np.float32)
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 0.15, rel  # whole-net drift bound, random weights

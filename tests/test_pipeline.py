@@ -523,3 +523,31 @@ def test_precomputed_conditioning_passthrough():
         params, jax.random.PRNGKey(1), **embeds_inputs, **kw)
     np.testing.assert_allclose(np.asarray(got_sw, np.float32),
                                np.asarray(want_sw, np.float32), atol=2e-5)
+
+
+def test_int8_quantized_unet_quality_bound():
+    """Quantified quality statement for IDMVTON_GEMM_INT8 (same honesty
+    pattern as garment_cache): generation with the int8-quantized TryonNet
+    stays CLOSE to the fp output — far closer than a different seed — on
+    tiny random weights (a conservative floor: converged weights have
+    smoother activations than random ones)."""
+    import functools
+    from idmvton_tpu.ops.quant import quantize_unet_linears_int8
+    from idmvton_tpu.utils.metrics import ssim
+
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    pipe = TryonPipeline(models)
+    b, h, w = 1, 32, 32
+    inputs = _tiny_inputs(b, h, w, models)
+    gen = jax.jit(functools.partial(pipe.generate, num_steps=3,
+                                    vae_sample=False))
+    params = models.params()
+    params_q = dict(params, unet=quantize_unet_linears_int8(params["unet"]))
+
+    fp = gen(params, jax.random.PRNGKey(1), **inputs)
+    q = gen(params_q, jax.random.PRNGKey(1), **inputs)
+    other = gen(params, jax.random.PRNGKey(2), **inputs)
+    s_q = float(ssim(fp, q))
+    s_other = float(ssim(fp, other))
+    assert s_q > 0.75, s_q
+    assert s_q > s_other + 0.3, (s_q, s_other)
