@@ -358,14 +358,19 @@ def main():
     p_unet = finit(lambda k: init_unet(k, unet_cfg, dtype=dtype), 15)
     p_garm = finit(lambda k: init_unet(k, garm_cfg, dtype=dtype), 16)
 
-    if os.environ.get("IDMVTON_GEMM_INT8", "0") == "1":
-        # W8A8 int8 on the TryonNet's ln_linear sites (ops/quant.py) — A/B
-        # knob, default OFF; quality bound in tests/test_pipeline.py
+    _int8 = os.environ.get("IDMVTON_GEMM_INT8", "0")
+    if _int8 in ("1", "2"):
+        # W8A8 int8 on the ln_linear sites (ops/quant.py) — A/B knob,
+        # default OFF; 1 = TryonNet only, 2 = both towers; quality bound
+        # in tests/test_pipeline.py
         from idmvton_tpu.ops.quant import quantize_unet_linears_int8
         t0 = time.time()
         p_unet = quantize_unet_linears_int8(p_unet)
+        if _int8 == "2":
+            p_garm = quantize_unet_linears_int8(p_garm)
         sync(p_unet)
-        log(f"  int8-quantized tryon ln_linear sites ({time.time()-t0:.1f}s)")
+        log(f"  int8-quantized ln_linear sites, mode {_int8} "
+            f"({time.time()-t0:.1f}s)")
 
     guidance = 2.0
 

@@ -35,10 +35,14 @@ p_garm = fast_random_params(jax.random.PRNGKey(1),
                             lambda k: init_unet(k, garm_cfg, dtype=dtype))
 
 import os
-if os.environ.get("IDMVTON_GEMM_INT8", "0") == "1":
+_int8 = os.environ.get("IDMVTON_GEMM_INT8", "0")
+if _int8 in ("1", "2"):
     from idmvton_tpu.ops.quant import quantize_unet_linears_int8
     p_unet = quantize_unet_linears_int8(p_unet)
     print("int8-quantized tryon ln_linear sites")
+if _int8 == "2":
+    p_garm = quantize_unet_linears_int8(p_garm)
+    print("int8-quantized garment ln_linear sites")
 
 rk = jax.random.split(jax.random.PRNGKey(2), 8)
 rnd = lambda i, shape: jax.random.normal(rk[i], shape, jnp.float32).astype(dtype)

@@ -4,6 +4,7 @@ data-parallel path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from idmvton_tpu.pipeline.tryon import TryonModels, TryonPipeline
 from idmvton_tpu.parallel.mesh import make_mesh, shard_batch, replicate_params
@@ -525,12 +526,13 @@ def test_precomputed_conditioning_passthrough():
                                np.asarray(want_sw, np.float32), atol=2e-5)
 
 
-def test_int8_quantized_unet_quality_bound():
+@pytest.mark.parametrize("towers", ["unet", "both"])
+def test_int8_quantized_unet_quality_bound(towers):
     """Quantified quality statement for IDMVTON_GEMM_INT8 (same honesty
     pattern as garment_cache): generation with the int8-quantized TryonNet
-    stays CLOSE to the fp output — far closer than a different seed — on
-    tiny random weights (a conservative floor: converged weights have
-    smoother activations than random ones)."""
+    (mode 1) or both towers (mode 2) stays CLOSE to the fp output — far
+    closer than a different seed — on tiny random weights (a conservative
+    floor: converged weights have smoother activations than random ones)."""
     import functools
     from idmvton_tpu.ops.quant import quantize_unet_linears_int8
     from idmvton_tpu.utils.metrics import ssim
@@ -543,6 +545,8 @@ def test_int8_quantized_unet_quality_bound():
                                     vae_sample=False))
     params = models.params()
     params_q = dict(params, unet=quantize_unet_linears_int8(params["unet"]))
+    if towers == "both":
+        params_q["garm"] = quantize_unet_linears_int8(params["garm"])
 
     fp = gen(params, jax.random.PRNGKey(1), **inputs)
     q = gen(params_q, jax.random.PRNGKey(1), **inputs)
