@@ -16,6 +16,17 @@ ours is the analytic equivalent: code i in [-127, 127] represents
 sign(i) * 10**(SPAN * (|i|/127 - 1)) * absmax, i.e. log-spaced levels
 covering 10^-SPAN..1 relative to the block max (SPAN=7 like bnb's ~1e-7
 smallest normal level; relative step 10**(SPAN/127) ~ 13%).
+
+Both moments live in ONE flat (nblocks, 256) buffer covering the whole
+param tree, with every leaf starting on a block boundary (so the block
+grid — and therefore the quantized trajectory — is identical to
+quantizing each leaf separately). One buffer instead of ~600 per-leaf
+QTensors keeps the traced/compiled update graph ~30 ops instead of
+~30 per leaf (an order-of-magnitude trace/compile-time cut on big trees)
+and gives XLA one large fused elementwise chain instead of hundreds of
+small kernels. nblocks is padded to a multiple of 8 so ZeRO-1
+(parallel/zero.py) can always partition the block axis over the data
+axis of the test and serving meshes.
 """
 
 from __future__ import annotations
@@ -62,25 +73,55 @@ def _dequantize(qt: _QTensor, shape) -> jnp.ndarray:
     return flat[:n].reshape(shape)
 
 
-def _q_zeros(p: jnp.ndarray) -> _QTensor:
-    nblocks = -(-p.size // _BLOCK)
+def _layout(leaves):
+    """Static flat-buffer layout: per-leaf element offsets (each leaf padded
+    up to a block boundary) and the total block count (padded to %8 for
+    ZeRO-1 divisibility over the data axis)."""
+    offs, off = [], 0
+    for leaf in leaves:
+        offs.append(off)
+        off += -(-leaf.size // _BLOCK) * _BLOCK
+    nblocks = -(-(off // _BLOCK) // 8) * 8
+    return offs, max(nblocks, 8)
+
+
+def _pack(leaves, nblocks) -> jnp.ndarray:
+    """Concatenate leaves (fp32, each zero-padded to a block boundary) into
+    one (nblocks, _BLOCK) buffer."""
+    parts = []
+    used = 0
+    for leaf in leaves:
+        f = leaf.astype(jnp.float32).ravel()
+        pad = (-f.size) % _BLOCK
+        if pad:
+            f = jnp.pad(f, (0, pad))
+        parts.append(f)
+        used += f.size
+    total = nblocks * _BLOCK
+    if total > used:
+        parts.append(jnp.zeros((total - used,), jnp.float32))
+    return jnp.concatenate(parts).reshape(nblocks, _BLOCK)
+
+
+def _q_zeros(nblocks: int) -> _QTensor:
     return _QTensor(q=jnp.zeros((nblocks, _BLOCK), jnp.int8),
                     scale=jnp.full((nblocks, 1), 1e-30, jnp.float32))
 
 
 class ScaleByAdamInt8State(NamedTuple):
     count: jnp.ndarray
-    mu: dict
-    nu: dict
+    mu: _QTensor         # ONE flat buffer covering the whole param tree
+    nu: _QTensor
 
 
 def scale_by_adam_int8(b1: float = 0.9, b2: float = 0.999,
                        eps: float = 1e-8) -> optax.GradientTransformation:
     def init_fn(params):
+        _, nblocks = _layout(jax.tree_util.tree_leaves(params))
         return ScaleByAdamInt8State(
             count=jnp.zeros((), jnp.int32),
-            mu=jax.tree_util.tree_map(_q_zeros, params),
-            nu=jax.tree_util.tree_map(_q_zeros, params),
+            mu=_q_zeros(nblocks),
+            nu=_q_zeros(nblocks),
         )
 
     def update_fn(updates, state, params=None):
@@ -88,22 +129,18 @@ def scale_by_adam_int8(b1: float = 0.9, b2: float = 0.999,
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        def upd(g, mu_q, nu_q):
-            g32 = g.astype(jnp.float32)
-            mu = b1 * _dequantize(mu_q, g.shape) + (1 - b1) * g32
-            nu = b2 * _dequantize(nu_q, g.shape) + (1 - b2) * g32 * g32
-            step = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
-            return step.astype(g.dtype), _quantize(mu), _quantize(nu)
-
-        flat_u, treedef = jax.tree_util.tree_flatten(updates)
-        flat_mu = treedef.flatten_up_to(state.mu)
-        flat_nu = treedef.flatten_up_to(state.nu)
-        out = [upd(g, m, n) for g, m, n in zip(flat_u, flat_mu, flat_nu)]
-        new_updates = treedef.unflatten([o[0] for o in out])
-        new_mu = treedef.unflatten([o[1] for o in out])
-        new_nu = treedef.unflatten([o[2] for o in out])
-        return new_updates, ScaleByAdamInt8State(count=count, mu=new_mu,
-                                                 nu=new_nu)
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        offs, nblocks = _layout(leaves)
+        shape = (nblocks, _BLOCK)
+        g = _pack(leaves, nblocks)
+        mu = b1 * _dequantize(state.mu, shape) + (1 - b1) * g
+        nu = b2 * _dequantize(state.nu, shape) + (1 - b2) * g * g
+        step = ((mu / bc1) / (jnp.sqrt(nu / bc2) + eps)).ravel()
+        new_updates = treedef.unflatten([
+            step[o:o + leaf.size].reshape(leaf.shape).astype(leaf.dtype)
+            for leaf, o in zip(leaves, offs)])
+        return new_updates, ScaleByAdamInt8State(
+            count=count, mu=_quantize(mu), nu=_quantize(nu))
 
     return optax.GradientTransformation(init_fn, update_fn)
 
