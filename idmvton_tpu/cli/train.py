@@ -70,6 +70,9 @@ def parse_args(argv=None):
                         "optimizer HBM saved per chip at dp>=2")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random models (smoke tests)")
+    p.add_argument("--micro", action="store_true",
+                   help="micro random models (mechanics tests: smallest "
+                        "stack that exercises every block kind)")
     p.add_argument("--resume_from_checkpoint", default=None,
                    help="train-state dir written by --state_dir")
     p.add_argument("--state_dir", default=None,
@@ -102,7 +105,7 @@ def main(argv=None):
         models = load_pipeline(args.pretrained, dtype)
     else:
         models = TryonModels.init(jax.random.PRNGKey(0), tiny=args.tiny,
-                                  dtype=dtype)
+                                  micro=args.micro, dtype=dtype)
 
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(args.learning_rate, args.weight_decay,

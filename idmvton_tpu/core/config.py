@@ -130,6 +130,36 @@ class UNetConfig:
         defaults.update(kw)
         return UNetConfig(**defaults)
 
+    @staticmethod
+    def micro(garment_mode: str = "none", **kw) -> "UNetConfig":
+        """Smallest config that still exercises every block kind (plain+attn
+        down/up, mid, emit/consume threading, IP tokens): 2 levels, 1 layer
+        per block, transformer depth 1. For MECHANICS tests (CLI cadence,
+        optimizer trajectories, sharding layouts) where trace/compile time
+        on a 1-CPU host dominates and widths are irrelevant to the property
+        under test. Numeric-parity and e2e tests should keep ``tiny``."""
+        defaults = dict(
+            in_channels=13 if garment_mode == "consume" else 4,
+            out_channels=4,
+            block_out_channels=(16, 32),
+            down_block_types=("plain", "attn"),
+            up_block_types=("attn", "plain"),
+            layers_per_block=1,
+            transformer_depth=(0, 1),
+            attention_head_dim=8,
+            cross_attention_dim=64,
+            norm_num_groups=8,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=64 + 6 * 8,
+            garment_mode=garment_mode,
+            ip_adapter=(garment_mode == "consume"),
+            ip_num_tokens=4,
+            addition_embed=(garment_mode != "emit"),
+            skip_final_output=(garment_mode == "emit"),
+        )
+        defaults.update(kw)
+        return UNetConfig(**defaults)
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:

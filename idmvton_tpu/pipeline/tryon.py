@@ -65,9 +65,19 @@ class TryonModels:
     resampler: dict
 
     @staticmethod
-    def init(key, *, tiny: bool = False, dtype=jnp.bfloat16) -> "TryonModels":
+    def init(key, *, tiny: bool = False, micro: bool = False,
+             dtype=jnp.bfloat16) -> "TryonModels":
         ks = jax.random.split(key, 7)
-        if tiny:
+        if micro:
+            # Mechanics-test stack: micro UNets (2 levels / depth 1) with the
+            # tiny frozen towers. Same component contract, ~4x smaller
+            # trace+compile than tiny on a 1-CPU host.
+            cfgs = (UNetConfig.micro("consume"), UNetConfig.micro("emit"),
+                    VAEConfig.tiny(), CLIPTextConfig.tiny(),
+                    CLIPTextConfig.tiny(hidden_size=32, projection_dim=64,
+                                        use_final_projection=True),
+                    CLIPVisionConfig.tiny(), ResamplerConfig.tiny())
+        elif tiny:
             cfgs = (UNetConfig.tiny("consume"), UNetConfig.tiny("emit"),
                     VAEConfig.tiny(), CLIPTextConfig.tiny(),
                     CLIPTextConfig.tiny(hidden_size=32, projection_dim=64,

@@ -22,7 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 # (The TPU relay compiles server-side and ignores this cache — CLAUDE.md —
 # but the CPU backend honors it.)
 jax.config.update("jax_compilation_cache_dir", "/tmp/idmvton_jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Threshold 0: the dominant repeated cost is ~120 per-leaf random-normal init
+# programs at ~0.33 s each (below any nonzero threshold, so they recompiled in
+# EVERY test that builds tiny models — ~40 s/test). Caching them cuts a warm
+# TryonModels.init(tiny) from ~43 s to ~4 s (measured).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8

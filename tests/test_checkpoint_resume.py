@@ -17,7 +17,7 @@ from tests.test_train import _batch
 
 
 def test_train_state_resume_roundtrip(tmp_path):
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True,
+    models = TryonModels.init(jax.random.PRNGKey(0), micro=True,
                               dtype=jnp.float32)
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(learning_rate=1e-4)
@@ -46,7 +46,7 @@ def test_train_state_resume_roundtrip(tmp_path):
 
 
 def test_prune_old_states(tmp_path):
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True,
+    models = TryonModels.init(jax.random.PRNGKey(0), micro=True,
                               dtype=jnp.float32)
     tx = make_optimizer()
     state = init_train_state(models, tx)

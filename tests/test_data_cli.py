@@ -181,7 +181,7 @@ def test_affine_and_jitter_functional():
 
 
 def test_train_cli_tiny_with_eval_and_8bit(tmp_path):
-    """Train CLI e2e: tiny models, adamw8bit, in-train eval writes
+    """Train CLI e2e: micro models, adamw8bit, in-train eval writes
     {step}_{i}_test.jpg (reference train_xl.py:492-594), checkpoint saved."""
     root = str(tmp_path / "v")
     # global batch = per-device batch (1) x 8 virtual devices = 8 samples
@@ -189,7 +189,7 @@ def test_train_cli_tiny_with_eval_and_8bit(tmp_path):
     make_viton_tree(root, n=2, phase="test", size=(32, 32))
     out = str(tmp_path / "out")
     from idmvton_tpu.cli.train import main
-    main(["--data_dir", root, "--output_dir", out, "--tiny",
+    main(["--data_dir", root, "--output_dir", out, "--micro",
           "--width", "32", "--height", "32", "--train_batch_size", "1",
           "--max_steps", "1", "--checkpointing_steps", "1",
           "--eval_steps", "1", "--num_inference_steps", "2",
@@ -207,7 +207,7 @@ def test_train_cli_tiny_zero1(tmp_path):
     make_viton_tree(root, n=8, phase="train", size=(32, 32))
     out = str(tmp_path / "outz")
     from idmvton_tpu.cli.train import main
-    main(["--data_dir", root, "--output_dir", out, "--tiny",
+    main(["--data_dir", root, "--output_dir", out, "--micro",
           "--width", "32", "--height", "32", "--train_batch_size", "1",
           "--max_steps", "1", "--checkpointing_steps", "1",
           "--logging_steps", "1", "--zero1"])
@@ -223,7 +223,7 @@ def test_train_cli_accum_counts_optimizer_steps(tmp_path):
     make_viton_tree(root, n=8, phase="train", size=(32, 32))
     out = str(tmp_path / "outa")
     from idmvton_tpu.cli.train import main
-    main(["--data_dir", root, "--output_dir", out, "--tiny",
+    main(["--data_dir", root, "--output_dir", out, "--micro",
           "--width", "32", "--height", "32", "--train_batch_size", "1",
           "--gradient_accumulation_steps", "2",
           "--max_steps", "1", "--checkpointing_steps", "1",

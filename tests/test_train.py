@@ -1,4 +1,8 @@
-"""Training-step tests on tiny models: loss finite, params update, DP parity."""
+"""Training-step tests: loss finite, params update, DP parity.
+
+Mechanics tests (decomposition/trajectory equalities, DP parity) run on the
+MICRO stack: the property under test is width-independent and trace+compile
+time dominates this 1-CPU host (tiny ~30 s/program vs micro ~9 s)."""
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +39,7 @@ def test_train_step_updates_finite_and_data_parallel_matches():
     CI cost on this host): the unsharded b=8 step must be finite and move
     params; the same batch sharded over the 8-device mesh must produce the
     identical update (grad all-reduce == serial mean)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    models = TryonModels.init(jax.random.PRNGKey(0), micro=True, dtype=DTYPE)
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(learning_rate=1e-4)
     state = init_train_state(models, tx)
@@ -71,7 +75,7 @@ def test_gradient_accumulation_matches_full_batch():
     step. Noise/timesteps are injected per-example and the VAE encode runs
     deterministic so the two decompositions compute identical per-example
     losses (the in-loss rng draws are batch-shape-dependent)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    models = TryonModels.init(jax.random.PRNGKey(0), micro=True, dtype=DTYPE)
     sched = DDPMScheduler(SchedulerConfig.train())
     lh, lw = 32 // 8, 32 // 8
 
@@ -162,7 +166,7 @@ def test_adamw8bit_matches_adamw_trajectory():
 
 
 def test_train_step_with_adamw8bit_runs():
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    models = TryonModels.init(jax.random.PRNGKey(0), micro=True, dtype=DTYPE)
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer(1e-4, optimizer="adamw8bit")
     state = init_train_state(models, tx)

@@ -37,7 +37,7 @@ def _tiny_batch(models, b, h, w, key):
 
 
 def test_zero1_matches_replicated_and_is_sharded():
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    models = TryonModels.init(jax.random.PRNGKey(0), micro=True, dtype=DTYPE)
     sched = DDPMScheduler(SchedulerConfig.train())
     tx = make_optimizer()
     step_fn = make_train_step(models, sched, tx, compute_dtype=DTYPE)
