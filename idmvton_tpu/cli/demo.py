@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import base64
 import html
 import io
 import json
@@ -32,6 +33,14 @@ _PAGE = """<!doctype html>
   <p>Mask (white = repaint; used when auto mask is off — the reference's
      hand-drawn mask layer, app.py:156):
      <input type="file" name="mask"></p>
+  <p>…or draw it (the reference's ImageEditor brush layer, app.py:244-247;
+     takes precedence over an uploaded mask file):</p>
+  <p><canvas id="maskcanvas" width="0" height="0"
+      style="border:1px solid #999;touch-action:none;cursor:crosshair">
+     </canvas></p>
+  <p>brush <input type="range" id="brush" min="4" max="80" value="28">
+     <button type="button" onclick="clearMask()">clear drawn mask</button></p>
+  <input type="hidden" name="mask_data" id="mask_data">
   <p>Garment description: <input type="text" name="desc" value="shirt"></p>
   <p><label><input type="checkbox" name="auto_mask" checked> auto mask</label>
      <label><input type="checkbox" name="auto_crop"> auto crop 3:4</label></p>
@@ -52,7 +61,58 @@ async function pick(kind, enc) {{
                         {{type: blob.type}}));
   document.getElementById(kind === 'human' ? 'person' : 'garment')
           .files = dt.files;
+  if (kind === 'human') loadCanvas(blob);
 }}
+
+// --- drawable mask layer (reference gradio ImageEditor, app.py:244-247:
+// brush strokes over the person image; any non-black pixel of the layer
+// becomes mask via pil_to_binary_mask, app.py:31-42) ---------------------
+const cv = document.getElementById('maskcanvas'), cx = cv.getContext('2d');
+let img = null, strokes = null, sx = null, drawing = false, drawn = false;
+
+function loadCanvas(blob) {{
+  img = new Image();
+  img.onload = () => {{
+    const w = 384, h = Math.round(w * img.height / img.width);
+    cv.width = w; cv.height = h;
+    strokes = document.createElement('canvas');   // mask-only layer
+    strokes.width = w; strokes.height = h;
+    sx = strokes.getContext('2d');
+    sx.fillStyle = 'black'; sx.fillRect(0, 0, w, h);
+    drawn = false; redraw();
+  }};
+  img.src = URL.createObjectURL(blob);
+}}
+function redraw() {{
+  cx.drawImage(img, 0, 0, cv.width, cv.height);
+  cx.globalAlpha = 0.55; cx.drawImage(strokes, 0, 0); cx.globalAlpha = 1;
+}}
+function dab(e) {{
+  const r = cv.getBoundingClientRect();
+  const x = (e.clientX - r.left) * cv.width / r.width;
+  const y = (e.clientY - r.top) * cv.height / r.height;
+  sx.fillStyle = 'white'; sx.beginPath();
+  sx.arc(x, y, +document.getElementById('brush').value / 2, 0, 7);
+  sx.fill(); drawn = true; redraw();
+}}
+cv.addEventListener('pointerdown', e => {{
+  if (!img) return; drawing = true; cv.setPointerCapture(e.pointerId);
+  dab(e);
+}});
+cv.addEventListener('pointermove', e => {{ if (drawing) dab(e); }});
+cv.addEventListener('pointerup', () => {{ drawing = false; }});
+function clearMask() {{
+  if (!sx) return;
+  sx.fillStyle = 'black'; sx.fillRect(0, 0, cv.width, cv.height);
+  drawn = false; redraw();
+}}
+document.getElementById('person').addEventListener('change', e => {{
+  if (e.target.files[0]) loadCanvas(e.target.files[0]);
+}});
+document.querySelector('form').addEventListener('submit', () => {{
+  document.getElementById('mask_data').value =
+      drawn ? strokes.toDataURL('image/png') : '';
+}});
 </script>
 </body></html>"""
 
@@ -298,6 +358,13 @@ def make_handler(service: TryonService):
                 garment = Image.open(io.BytesIO(fields["garment"]))
                 mask_image = (Image.open(io.BytesIO(fields["mask"]))
                               if fields.get("mask") else None)
+                # canvas-drawn layer (data:image/png;base64,...) takes
+                # precedence over an uploaded mask file, like the reference
+                # editor layer over the base image (app.py:156)
+                md = (fields.get("mask_data") or b"").decode().strip()
+                if md.startswith("data:image/"):
+                    mask_image = Image.open(io.BytesIO(
+                        base64.b64decode(md.split(",", 1)[1])))
                 desc = (fields.get("desc") or b"shirt").decode()
                 fmt = (fields.get("format") or b"html").decode()
                 out, mask_gray = service.tryon(

@@ -74,8 +74,10 @@ def test_auto_crop_3_4():
 
 
 def test_http_manual_mask_end_to_end(svc):
-    """Full HTTP round trip through the stdlib server: multipart POST with a
-    mask file, JSON response carrying result + masked preview."""
+    """Full HTTP round trip through the stdlib server: multipart POST with
+    both a mask FILE and a canvas-drawn mask_data layer (the browser canvas,
+    reference app.py:244-247); the drawn layer must take precedence. JSON
+    response carries result + masked preview."""
     from http.server import ThreadingHTTPServer
     import urllib.request
 
@@ -93,12 +95,18 @@ def test_http_manual_mask_end_to_end(svc):
 
         layer = np.zeros((128, 96, 3), np.uint8)
         layer[40:90, 24:72] = 255
+        # decoy mask FILE covering everything: if the server preferred the
+        # file over the drawn layer, the whole preview would read mid-gray
+        decoy = np.full((128, 96, 3), 255, np.uint8)
+        mask_data = (b"data:image/png;base64,"
+                     + base64.b64encode(png_bytes(Image.fromarray(layer))))
         boundary = "XBOUNDARYX"
         parts = []
         for name, payload, is_file in (
                 ("person", png_bytes(person), True),
                 ("garment", png_bytes(garment), True),
-                ("mask", png_bytes(Image.fromarray(layer)), True),
+                ("mask", png_bytes(Image.fromarray(decoy)), True),
+                ("mask_data", mask_data, False),
                 ("desc", b"shirt", False),
                 ("steps", b"2", False),
                 ("seed", b"7", False),
@@ -124,6 +132,11 @@ def test_http_manual_mask_end_to_end(svc):
         # the drawn mask region reads back as the mid-gray preview
         mg = np.asarray(masked)
         assert np.abs(mg[25:40, 15:30].astype(int) - 127).max() <= 1
+        # outside the drawn layer the person shows through — proves the
+        # all-white decoy mask FILE did not win over mask_data (a random
+        # person image is never uniformly mid-gray)
+        outside = mg[:8, :8].astype(int)
+        assert np.abs(outside - 127).max() > 1
     finally:
         server.shutdown()
 
