@@ -166,7 +166,19 @@ class TryonService:
                                                args.tokenizer_dir)
         self.openpose = OpenPose()
         self.parsing = Parsing()
-        self.densepose = DensePose()
+        if args.tiny:
+            # tiny serving mode: same DensePose code path (resize, BGR mean,
+            # R-CNN, painting) at toy capacity — the full-size config runs the
+            # R-50-FPN at short-edge 800 (~53 s/call on a CPU test host),
+            # which is preprocessing-parity territory covered by
+            # tests/test_densepose*.py, not demo-flow territory
+            from idmvton_tpu.preprocess.densepose.rcnn import DensePoseConfig
+            self.densepose = DensePose(
+                cfg=DensePoseConfig(rpn_pre_nms_topk=50, rpn_post_nms_topk=20,
+                                    num_detections=4, dp_chunk=2),
+                short_edge=64, max_size=96)
+        else:
+            self.densepose = DensePose()
         self.lock = threading.Lock()
         self._gens = {}
         self.examples = self._discover_examples(
