@@ -60,14 +60,23 @@ def _tiny_setup(seed=0, b=1, hw=(32, 32)):
     return models, pipe, inputs
 
 
-def test_noise_injection_determinism():
+@pytest.fixture(scope="module")
+def tiny():
+    """ONE shared (models, pipe, inputs) for the module: every test below
+    uses the default _tiny_setup and treats it read-only; sharing the
+    TryonPipeline also shares its jit trace caches (a fresh pipe per test
+    re-traces the towers + denoise programs, ~10 s each on this host)."""
+    return _tiny_setup()
+
+
+def test_noise_injection_determinism(tiny):
     """Injected noise => bit-identical output across two calls with DIFFERENT
     PRNG keys (proves the injected tensors fully control the trajectory, so
     torch-dumped noise.npz can drive a reproducible comparison)."""
     import jax
     import jax.numpy as jnp
 
-    models, pipe, inputs = _tiny_setup()
+    models, pipe, inputs = tiny
     b = inputs["person"].shape[0]
     lh = inputs["person"].shape[1] // models.vae_cfg.downscale
     lw = inputs["person"].shape[2] // models.vae_cfg.downscale
@@ -96,13 +105,13 @@ def test_noise_injection_determinism():
     assert np.isfinite(np.asarray(img2)).all()
 
 
-def test_noise_injection_fused_vs_stepwise():
+def test_noise_injection_fused_vs_stepwise(tiny):
     """The fused scan and the stepwise serving path produce the same
     trajectory under injected noise (same math, different program shapes)."""
     import jax
     import jax.numpy as jnp
 
-    models, pipe, inputs = _tiny_setup()
+    models, pipe, inputs = tiny
     b = inputs["person"].shape[0]
     lh = inputs["person"].shape[1] // models.vae_cfg.downscale
     lw = inputs["person"].shape[2] // models.vae_cfg.downscale
@@ -129,7 +138,7 @@ def test_noise_injection_fused_vs_stepwise():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_strength_init_from_image_latents():
+def test_strength_init_from_image_latents(tiny):
     """strength<1 starts from noised person-image latents (reference
     prepare_latents, tryon_pipeline.py:888-894): differs from the pure-noise
     init and matches an explicit add_noise(image_latents, noise, t0)."""
@@ -137,7 +146,7 @@ def test_strength_init_from_image_latents():
     import jax.numpy as jnp
     from idmvton_tpu.models.vae import vae_encode
 
-    models, pipe, inputs = _tiny_setup()
+    models, pipe, inputs = tiny
     b = inputs["person"].shape[0]
     lh = inputs["person"].shape[1] // models.vae_cfg.downscale
     lw = inputs["person"].shape[2] // models.vae_cfg.downscale
@@ -179,14 +188,14 @@ def test_strength_init_from_image_latents():
                      latent_shape=(b, lh, lw, 4), num_steps=T, strength=0.5)
 
 
-def test_inpaint_blend_pins_unmasked_region():
+def test_inpaint_blend_pins_unmasked_region(tiny):
     """inpaint_blend (reference 4-ch branch, tryon_pipeline.py:1825-1838):
     after the final step the un-masked region equals the image latents."""
     import jax
     import jax.numpy as jnp
     from idmvton_tpu.models.vae import vae_encode
 
-    models, pipe, inputs = _tiny_setup()
+    models, pipe, inputs = tiny
     b = inputs["person"].shape[0]
     lh = inputs["person"].shape[1] // models.vae_cfg.downscale
     lw = inputs["person"].shape[2] // models.vae_cfg.downscale
@@ -219,7 +228,7 @@ def test_golden_ssim_gate():
     assert report["passed"], f"SSIM {report['ssim']} < {report['threshold']}"
 
 
-def test_fixture_protocol_self_round_trip(tmp_path):
+def test_fixture_protocol_self_round_trip(tmp_path, tiny):
     """MECHANISM test of the fixture protocol, not cross-framework evidence
     (r4 verdict: the old name `test_golden_fixture_round_trip` over-claimed —
     the 'reference' here is our own tiny pipeline re-run). Cross-framework
@@ -246,7 +255,7 @@ def test_fixture_protocol_self_round_trip(tmp_path):
     dump = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(dump)
 
-    models, pipe, inputs = _tiny_setup()
+    models, pipe, inputs = tiny
     b = inputs["person"].shape[0]
     lh = inputs["person"].shape[1] // models.vae_cfg.downscale
     lw = inputs["person"].shape[2] // models.vae_cfg.downscale
