@@ -29,9 +29,22 @@ def _tiny_inputs(b, h, w, models, key=0):
     )
 
 
-def test_generate_end_to_end_tiny():
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    """ONE shared tiny model stack for the module (each init costs ~5-8 s on
+    this host even with a warm compile cache; every test treats it
+    read-only — the int8 tests quantize into NEW param dicts)."""
+    return TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe(tiny_models):
+    return TryonPipeline(tiny_models)
+
+
+def test_generate_end_to_end_tiny(tiny_models, tiny_pipe):
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 2, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     fn = pipe.jit_generate(num_steps=3, guidance_scale=2.0)
@@ -48,11 +61,10 @@ def test_generate_end_to_end_tiny():
     assert float(jnp.abs(images3 - images).max()) > 1e-4
 
 
-def test_generate_data_parallel_matches_single_device():
+def test_generate_data_parallel_matches_single_device(tiny_models, tiny_pipe):
     """Batch sharded over an 8-device mesh must produce the same images as
     unsharded execution (weights replicated — the reference's DDP analog)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 8, 64, 64
     inputs = _tiny_inputs(b, h, w, models)
     fn = pipe.jit_generate(num_steps=2)
@@ -65,11 +77,10 @@ def test_generate_data_parallel_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
-def test_garment_cache_once_mode():
+def test_garment_cache_once_mode(tiny_models, tiny_pipe):
     """garment_cache='once' produces valid (different) images with ~1/3 fewer
     garmnet forwards."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 1, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     import functools
@@ -80,7 +91,7 @@ def test_garment_cache_once_mode():
     assert jnp.isfinite(img).all()
 
 
-def test_garment_cache_once_quality_bound():
+def test_garment_cache_once_quality_bound(tiny_models, tiny_pipe):
     """Quantified quality statement for the serving flag: the 'once' output
     stays CLOSE to reference 'every_step' semantics. Measured on tiny random
     weights: SSIM(every, once) = 0.77 @ 3 steps / 0.81 @ 6 steps, vs 0.012
@@ -90,8 +101,7 @@ def test_garment_cache_once_quality_bound():
     import functools
     from idmvton_tpu.utils.metrics import ssim
 
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 1, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     g_every = jax.jit(functools.partial(pipe.generate, num_steps=3))
@@ -106,10 +116,9 @@ def test_garment_cache_once_quality_bound():
     assert s_once > s_other + 0.3, (s_once, s_other)
 
 
-def test_stepwise_generate_matches_contract():
+def test_stepwise_generate_matches_contract(tiny_models, tiny_pipe):
     """stepwise_generate: same math as generate() via small programs."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 1, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     fn = pipe.stepwise_generate(num_steps=2)
@@ -120,13 +129,12 @@ def test_stepwise_generate_matches_contract():
     np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
 
 
-def test_stepwise_equals_fused_with_injected_noise():
+def test_stepwise_equals_fused_with_injected_noise(tiny_models, tiny_pipe):
     """With deterministic (posterior-mode) VAE encodes and injected
     init/step noises, the stepwise serving path and the fused generate()
     program compute the same trajectory (golden fixtures dumped against one
     path are valid for the other)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 1, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
@@ -189,10 +197,9 @@ def test_make_time_ids_reference_formula():
     np.testing.assert_array_equal(np.asarray(ids[1]), [64, 64, 1, 2, 6.0])
 
 
-def test_encode_conditioning_micro_conditioning_plumbs():
+def test_encode_conditioning_micro_conditioning_plumbs(tiny_models, tiny_pipe):
     """encode_conditioning(micro_conditioning=...) reaches the time_ids."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     inputs = _tiny_inputs(1, 64, 64, models)
     cond = pipe.encode_conditioning(
         models.params(), jax.random.PRNGKey(1), **inputs,
@@ -274,12 +281,11 @@ def test_denoising_values_outside_unit_interval_ignored():
         sched.timesteps_and_prev(num, denoising_start=0.5, denoising_end=0.5)
 
 
-def test_output_type_latent_refiner_handoff():
+def test_output_type_latent_refiner_handoff(tiny_models, tiny_pipe):
     """output_type='latent' (reference :1868-1870) returns the raw latents
     from generate/stepwise; decoding them reproduces the default output, so
     a base->refiner chain can ride the public API (advisor r4 #2)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w, num = 1, 32, 32, 2
     inputs = _tiny_inputs(b, h, w, models)
     lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
@@ -305,12 +311,11 @@ def test_output_type_latent_refiner_handoff():
     assert lat_sw.shape == lshape
 
 
-def test_denoising_split_chain_bit_exact():
+def test_denoising_split_chain_bit_exact(tiny_models, tiny_pipe):
     """base(denoising_end=x) -> refiner(denoising_start=x) equals the unsplit
     run exactly, given the same injected noises (the reference's documented
     refiner workflow, src/tryon_pipeline.py:1351-1365)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 1, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     cond = pipe.encode_conditioning(models.params(), jax.random.PRNGKey(1),
@@ -339,12 +344,11 @@ def test_denoising_split_chain_bit_exact():
     np.testing.assert_array_equal(np.asarray(seg2), np.asarray(full))
 
 
-def test_num_images_per_prompt_replicates():
+def test_num_images_per_prompt_replicates(tiny_models, tiny_pipe):
     """num_images_per_prompt=2 (reference repeat_interleave, tryon_pipeline
     :710-730): with tiled injected noises, both replicas equal the n=1
     image."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w, num = 1, 32, 32, 2
     inputs = _tiny_inputs(b, h, w, models)
     lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
@@ -368,14 +372,14 @@ def test_num_images_per_prompt_replicates():
                                atol=2e-5)
 
 
-def test_clip_skip_selects_earlier_layer():
+def test_clip_skip_selects_earlier_layer(tiny_models):
     """clip_skip=k returns hidden_states[-(k+2)] (reference encode_prompt,
     src/tryon_pipeline.py:637-641): on an N-layer tower it must equal the
     default penultimate of the same tower truncated by k layers."""
     import dataclasses
     from idmvton_tpu.models.clip import init_clip_text, clip_text_apply
 
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
+    models = tiny_models
     cfg = models.clip_l_cfg
     assert cfg.num_layers >= 2
     params = init_clip_text(jax.random.PRNGKey(3), cfg, dtype=DTYPE)
@@ -397,12 +401,11 @@ def test_clip_skip_selects_earlier_layer():
         clip_text_apply(params, cfg, ids, clip_skip=cfg.num_layers)
 
 
-def test_callback_on_step_end():
+def test_callback_on_step_end(tiny_models, tiny_pipe):
     """stepwise_generate's host callback fires per step with descending
     timesteps and can override latents (reference callback_on_step_end,
     src/tryon_pipeline.py:1840-1845)."""
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w, num = 1, 32, 32, 3
     inputs = _tiny_inputs(b, h, w, models)
 
@@ -429,7 +432,7 @@ def test_callback_on_step_end():
     assert float(jnp.abs(out - base).max()) > 1e-5
 
 
-def test_custom_timesteps_schedule():
+def test_custom_timesteps_schedule(tiny_models, tiny_pipe):
     """Explicit `timesteps` list (reference retrieve_timesteps,
     src/tryon_pipeline.py:264-302, __call__ :1266): the scheduler adopts the
     list verbatim, prev derives from it, validation rejects non-descending
@@ -452,8 +455,7 @@ def test_custom_timesteps_schedule():
         with pytest.raises(ValueError):
             sched.timesteps(0, custom_timesteps=bad)
 
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w, num = 1, 32, 32, 2
     inputs = _tiny_inputs(b, h, w, models)
     lat_hw = (h // models.vae_cfg.downscale, w // models.vae_cfg.downscale)
@@ -472,7 +474,7 @@ def test_custom_timesteps_schedule():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
-def test_precomputed_conditioning_passthrough():
+def test_precomputed_conditioning_passthrough(tiny_models, tiny_pipe):
     """The reference's served calling convention (inference.py:364-397
     computes encode_prompt OUTSIDE and passes embeds into __call__,
     tryon_pipeline.py:1276-1285; masked_image_latents :1260): passing
@@ -483,8 +485,7 @@ def test_precomputed_conditioning_passthrough():
     from idmvton_tpu.models.vae import vae_encode
     from idmvton_tpu.pipeline.tryon import encode_prompt_sdxl
 
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     params = models.params()
     b, h, w, num = 1, 32, 32, 2
     inputs = _tiny_inputs(b, h, w, models)
@@ -527,7 +528,7 @@ def test_precomputed_conditioning_passthrough():
 
 
 @pytest.mark.parametrize("towers", ["unet", "both"])
-def test_int8_quantized_unet_quality_bound(towers):
+def test_int8_quantized_unet_quality_bound(towers, tiny_models, tiny_pipe):
     """Quantified quality statement for IDMVTON_GEMM_INT8 (same honesty
     pattern as garment_cache): generation with the int8-quantized TryonNet
     (mode 1) or both towers (mode 2) stays CLOSE to the fp output — far
@@ -537,8 +538,7 @@ def test_int8_quantized_unet_quality_bound(towers):
     from idmvton_tpu.ops.quant import quantize_unet_linears_int8
     from idmvton_tpu.utils.metrics import ssim
 
-    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True, dtype=DTYPE)
-    pipe = TryonPipeline(models)
+    models, pipe = tiny_models, tiny_pipe
     b, h, w = 1, 32, 32
     inputs = _tiny_inputs(b, h, w, models)
     gen = jax.jit(functools.partial(pipe.generate, num_steps=3,
