@@ -367,7 +367,9 @@ def main():
         t0 = time.time()
         p_unet = quantize_unet_linears_int8(p_unet)
         if _int8 == "2":
-            p_garm = quantize_unet_linears_int8(p_garm)
+            # emit tower: ff.proj_in only (its to_qkv never reaches the
+            # W8A8 kernel — see quantize_unet_linears_int8 docstring)
+            p_garm = quantize_unet_linears_int8(p_garm, attn_qkv=False)
         sync(p_unet)
         log(f"  int8-quantized ln_linear sites, mode {_int8} "
             f"({time.time()-t0:.1f}s)")

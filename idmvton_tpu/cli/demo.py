@@ -365,7 +365,6 @@ def make_handler(service: TryonService):
                 payload = part.get_payload(decode=True)
                 fields[name] = payload
             try:
-                import base64
                 person = Image.open(io.BytesIO(fields["person"]))
                 garment = Image.open(io.BytesIO(fields["garment"]))
                 mask_image = (Image.open(io.BytesIO(fields["mask"]))

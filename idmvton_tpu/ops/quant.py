@@ -32,18 +32,28 @@ def quantize_linear_int8(proj_params: dict) -> dict:
     return out
 
 
-def quantize_unet_linears_int8(unet_params: dict) -> dict:
+def quantize_unet_linears_int8(unet_params: dict, *,
+                               attn_qkv: bool = True) -> dict:
     """Quantize every transformer block's attn1.to_qkv and ff.proj_in in a
     UNet param tree (the ln_linear sites). Returns a new tree; all other
-    leaves are shared, not copied."""
+    leaves are shared, not copied.
+
+    attn_qkv=False skips the attn1.to_qkv sites — pass it for the
+    GarmentNet (emit) tower: its blocks must materialize the post-norm1
+    hidden states (the emitted garment feature, attentionhacked_garmnet.py
+    :321-322), so self_attention runs with norm=None and a quantized to_qkv
+    would never reach the W8A8 LN+GEMM kernel — it would only add weight
+    rounding error (plus a per-step dequant) for zero speedup. The emit
+    tower's measured int8 gain comes from its ff.proj_in sites."""
 
     def walk(node):
         if isinstance(node, dict):
             if "attn1" in node and "ff" in node:
                 out = dict(node)
-                out["attn1"] = dict(node["attn1"])
-                out["attn1"]["to_qkv"] = quantize_linear_int8(
-                    node["attn1"]["to_qkv"])
+                if attn_qkv:
+                    out["attn1"] = dict(node["attn1"])
+                    out["attn1"]["to_qkv"] = quantize_linear_int8(
+                        node["attn1"]["to_qkv"])
                 out["ff"] = dict(node["ff"])
                 out["ff"]["proj_in"] = quantize_linear_int8(
                     node["ff"]["proj_in"])

@@ -122,6 +122,7 @@ def apply_overlay(mask: np.ndarray, original: np.ndarray,
         mask = mask[..., 0]
     if mask.max() > 1.0:
         mask = mask / 255.0
+    out_dtype = np.asarray(original).dtype
     original = np.asarray(original, np.float32)
     out = original.copy()
     h, w = original.shape[:2]
@@ -130,4 +131,7 @@ def apply_overlay(mask: np.ndarray, original: np.ndarray,
                        interpolation=cv2.INTER_LINEAR)
     m = mask[y1:y2, x1:x2, None]
     out[y1:y2, x1:x2] = (1.0 - m) * out[y1:y2, x1:x2] + m * patch
-    return out.astype(np.asarray(original).dtype)
+    if np.issubdtype(out_dtype, np.integer):
+        out = np.clip(np.rint(out), np.iinfo(out_dtype).min,
+                      np.iinfo(out_dtype).max)
+    return out.astype(out_dtype)

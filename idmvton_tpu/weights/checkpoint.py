@@ -34,45 +34,83 @@ _CFG_TYPES = (UNetConfig, UNetConfig, VAEConfig, CLIPTextConfig,
               CLIPTextConfig, CLIPVisionConfig, ResamplerConfig)
 
 
+def _calibration_sites(models: TryonModels):
+    """Yield (label, to_qkv kernel, heads) for every self-attention probe
+    site: BOTH towers (the GarmentNet serves through the same fixed-shift
+    flash kernel as the TryonNet), at the first attn-bearing down level AND
+    the mid block (the deepest, widest-channel level — a finetune's hot
+    logits can live at any depth or in either tower)."""
+    for tower, cfg_field in (("unet", "unet_cfg"), ("garm", "garm_cfg")):
+        params = getattr(models, tower)
+        cfg = getattr(models, cfg_field)
+        down = next((b for b in params["down_blocks"]
+                     if "attentions" in b), None)
+        mid = params.get("mid_block")
+        for level, blk in (("down", down), ("mid", mid)):
+            if blk is None or "attentions" not in blk:
+                continue
+            kernel = blk["attentions"][0]["blocks"][0]["attn1"]["to_qkv"][
+                "kernel"]
+            heads = (kernel.shape[1] // 3) // cfg.attention_head_dim
+            yield f"{tower}.{level}", kernel, heads
+
+
 def calibrate_attention_softmax(models: TryonModels, *, tol: float = 5e-3,
                                 seq: int = 256, batch: int = 2,
                                 seed: int = 0) -> Optional[dict]:
     """Load-time fixed-shift softmax guard for checkpoint bring-up (r4
     verdict #4): A/B the fixed-shift flash softmax against the exact
     online-max path on one batch of activations PROJECTED THROUGH the
-    checkpoint's own hottest self-attention to_qkv (the first attn-bearing
-    down level — the largest-sequence site), auto-forcing the exact path
-    process-wide on breach (hot-logit finetunes no longer degrade silently).
+    checkpoint's own self-attention to_qkv weights — probing BOTH towers at
+    two depths each (r5: the single-site probe missed garment-tower /
+    deep-level hot logits), then calibrating on the worst site, auto-forcing
+    the exact path process-wide on breach (hot-logit finetunes no longer
+    degrade silently).
 
     Runs BEFORE any serving program is jitted for the checkpoint — callers
     (from_diffusers / load_pipeline) invoke it right after conversion.
-    Returns the calibrate report, or None when skipped (tiny geometries the
-    flash kernel doesn't serve, or IDMVTON_CALIBRATE=0).
+    Returns the calibrate report (plus per-site errors), or None when
+    skipped (tiny geometries the flash kernel doesn't serve, or
+    IDMVTON_CALIBRATE=0).
     """
     if os.environ.get("IDMVTON_CALIBRATE", "1") == "0":
         return None
     from idmvton_tpu.ops.pallas_attention import (
-        calibrate_fixed_shift, flash_attention_gemm_supported,
+        calibrate_fixed_shift, fixed_shift_max_error,
+        flash_attention_gemm_supported,
     )
-    blk = next((b for b in models.unet["down_blocks"] if "attentions" in b),
-               None)
-    if blk is None:
+
+    def qkv_for(kernel, seed_offset):
+        x = jax.random.normal(jax.random.PRNGKey(seed + seed_offset),
+                              (batch, seq, kernel.shape[0]),
+                              jnp.float32).astype(kernel.dtype)
+        return jnp.einsum("bnc,cd->bnd", x, kernel)
+
+    errors = {}
+    worst = None
+    for i, (label, kernel, heads) in enumerate(_calibration_sites(models)):
+        if not flash_attention_gemm_supported(kernel.shape[1] // 3, heads):
+            continue  # tiny/test geometries run the XLA path anyway
+        err = float(fixed_shift_max_error(qkv_for(kernel, i), heads=heads,
+                                          block_q=128, block_kv=128))
+        errors[label] = err
+        if worst is None or err > errors[worst[0]]:
+            worst = (label, kernel, heads, i)
+    if worst is None:
         return None
-    kernel = blk["attentions"][0]["blocks"][0]["attn1"]["to_qkv"]["kernel"]
-    inner = kernel.shape[1] // 3
-    heads = inner // models.unet_cfg.attention_head_dim
-    if not flash_attention_gemm_supported(inner, heads):
-        return None  # tiny/test geometries run the XLA path anyway
-    x = jax.random.normal(jax.random.PRNGKey(seed),
-                          (batch, seq, kernel.shape[0]),
-                          jnp.float32).astype(kernel.dtype)
-    qkv = jnp.einsum("bnc,cd->bnd", x, kernel)
-    report = calibrate_fixed_shift(qkv, heads=heads, tol=tol,
+    # one calibrate call on the worst site sets/clears the force-off flag
+    # atomically (sequential per-site calibrates would let a later clean
+    # site RESET a breach found earlier)
+    label, kernel, heads, i = worst
+    report = calibrate_fixed_shift(qkv_for(kernel, i), heads=heads, tol=tol,
                                    block_q=128, block_kv=128)
+    report["site_errors"] = errors
+    report["worst_site"] = label
     import logging
     logging.getLogger(__name__).info(
-        "fixed-shift softmax calibration: max_error %.3g, fixed_shift=%s",
-        report["max_error"], report["fixed_shift"])
+        "fixed-shift softmax calibration: worst site %s max_error %.3g "
+        "(sites %s), fixed_shift=%s", label, report["max_error"], errors,
+        report["fixed_shift"])
     return report
 
 

@@ -41,7 +41,7 @@ if _int8 in ("1", "2"):
     p_unet = quantize_unet_linears_int8(p_unet)
     print("int8-quantized tryon ln_linear sites")
 if _int8 == "2":
-    p_garm = quantize_unet_linears_int8(p_garm)
+    p_garm = quantize_unet_linears_int8(p_garm, attn_qkv=False)
     print("int8-quantized garment ln_linear sites")
 
 rk = jax.random.split(jax.random.PRNGKey(2), 8)

@@ -142,3 +142,41 @@ def test_checkpoint_bringup_calibrates_fixed_shift(tmp_path):
         assert PA._fixed_shift()
     finally:
         PA._FIXED_SHIFT_FORCED_OFF = old
+
+
+def test_checkpoint_bringup_calibrates_garment_tower(tmp_path):
+    """r5: the calibration probe covers BOTH towers and depths — a finetune
+    whose hot logits live only in the GarmentNet's MID block (the old
+    single-site probe looked at the TryonNet's first down level and would
+    have passed this checkpoint) must also auto-force the exact softmax."""
+    import dataclasses
+    from idmvton_tpu.core.config import UNetConfig
+    from idmvton_tpu.models.unet import init_unet
+    from idmvton_tpu.ops import pallas_attention as PA
+    from idmvton_tpu.weights.checkpoint import save_pipeline, load_pipeline
+
+    gcfg = UNetConfig.tiny("emit", block_out_channels=(32, 128, 256))
+    garm = init_unet(jax.random.PRNGKey(5), gcfg, dtype=jnp.float32)
+    models = TryonModels.init(jax.random.PRNGKey(0), tiny=True,
+                              dtype=jnp.float32)
+    models = dataclasses.replace(models, garm_cfg=gcfg, garm=garm)
+
+    site = models.garm["mid_block"]["attentions"][0]["blocks"][0]
+    kernel = site["attn1"]["to_qkv"]["kernel"]
+    c, three_inner = kernel.shape
+    inner = three_inner // 3
+    w_qk = 0.5 * jax.random.normal(jax.random.PRNGKey(9), (c, inner),
+                                   jnp.float32)
+    site["attn1"]["to_qkv"]["kernel"] = jnp.concatenate(
+        [w_qk, w_qk, kernel[:, 2 * inner:]], axis=1)
+    hot_path = str(tmp_path / "hot_garm")
+    save_pipeline(hot_path, models)
+
+    old = PA._FIXED_SHIFT_FORCED_OFF
+    try:
+        PA._FIXED_SHIFT_FORCED_OFF = False
+        load_pipeline(hot_path, dtype=jnp.float32)
+        assert not PA._fixed_shift(), \
+            "garment-tower hot logits must auto-force the online-max softmax"
+    finally:
+        PA._FIXED_SHIFT_FORCED_OFF = old

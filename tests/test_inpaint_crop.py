@@ -77,3 +77,20 @@ def test_apply_overlay_blends_only_masked_region():
     out8 = apply_overlay((mask * 255).astype(np.uint8), original, generated,
                          region)
     np.testing.assert_allclose(out8, out, atol=1e-6)
+
+
+def test_apply_overlay_preserves_input_dtype():
+    """A uint8 photo in must come back uint8 (r5 review: the float32 working
+    copy used to leak out, breaking PIL.Image.fromarray on the result)."""
+    rng = np.random.default_rng(2)
+    original = rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+    generated = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+    mask = np.zeros((40, 30), np.float32)
+    mask[10:20, 8:18] = 1.0
+    out = apply_overlay(mask, original, generated, (8, 10, 18, 20))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out[mask == 0], original[mask == 0])
+    # float input stays float
+    outf = apply_overlay(mask, original.astype(np.float32), generated,
+                         (8, 10, 18, 20))
+    assert outf.dtype == np.float32

@@ -760,3 +760,47 @@ def test_quantize_unet_linears_int8_tree_and_forward():
     assert np.isfinite(b).all()
     rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
     assert rel < 0.15, rel  # whole-net drift bound, random weights
+
+
+def test_quantize_unet_linears_int8_emit_tower_skips_qkv():
+    """attn_qkv=False (the GarmentNet/emit-tower mode): ff.proj_in sites are
+    quantized but every attn1.to_qkv keeps its fp kernel — the emit branch
+    runs self_attention with norm=None (the post-norm1 states are the
+    emitted garment feature), so a quantized to_qkv could never reach the
+    W8A8 LN+GEMM kernel and would only add rounding error."""
+    import jax
+    from idmvton_tpu.core.config import UNetConfig
+    from idmvton_tpu.models.unet import init_unet, unet_apply
+    from idmvton_tpu.ops.quant import quantize_unet_linears_int8
+
+    cfg = UNetConfig.tiny("emit")
+    p = init_unet(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    q = quantize_unet_linears_int8(p, attn_qkv=False)
+
+    def leaves_with_key(tree, key):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return [path for path, _ in flat
+                if getattr(path[-1], "key", None) == key]
+
+    i8_paths = leaves_with_key(q, "kernel_i8")
+    assert i8_paths, "no quantized sites at all"
+    assert all("proj_in" in str(path) for path in i8_paths), i8_paths
+    assert not any("to_qkv" in str(path) for path in i8_paths)
+    # to_qkv kernels unchanged and shared (not copied)
+    full = quantize_unet_linears_int8(p)
+    assert any("to_qkv" in str(path)
+               for path in leaves_with_key(full, "kernel_i8"))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 64), jnp.float32)
+    out_fp, feats_fp = unet_apply(p, cfg, x, jnp.int32(500), ctx, impl="xla")
+    out_i8, feats_i8 = unet_apply(q, cfg, x, jnp.int32(500), ctx, impl="xla")
+    # emitted features are captured BEFORE attention — the first emitted
+    # feature depends only on conv_in/resnet/norm1 params, all unquantized
+    np.testing.assert_array_equal(np.asarray(feats_fp[0]),
+                                  np.asarray(feats_i8[0]))
+    a = np.asarray(feats_fp[-1], np.float32)
+    b = np.asarray(feats_i8[-1], np.float32)
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 0.15, rel
