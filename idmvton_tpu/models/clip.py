@@ -133,6 +133,46 @@ def clip_text_apply(params, cfg: CLIPTextConfig, input_ids, *,
     return out
 
 
+def clip_text_apply_pp(params, cfg: CLIPTextConfig, input_ids, *, mesh,
+                       n_micro: int = 2, clip_skip: int = None):
+    """Pipeline-parallel clip_text_apply: the L identical encoder layers are
+    split into mesh-'model'-axis stages and microbatches flow through a
+    GPipe schedule (parallel/pp.py). Numerically identical outputs to
+    clip_text_apply — the penultimate/clip_skip seam is taken with
+    gpipe's capture_before, and the embedding / final-LN / eos-pool ends
+    stay replicated (they are <1% of tower FLOPs).
+
+    Beyond-reference scaling path (the reference runs its towers
+    single-device, src/tryon_pipeline.py:609-645): pp is the right axis
+    for the frozen towers when per-chip HBM is the binding constraint —
+    stages hold 1/S of the weights and the ring hops ride ICI.
+    """
+    from idmvton_tpu.parallel.pp import gpipe, shard_stages
+
+    skip = clip_skip or 0
+    if not 0 <= skip < cfg.num_layers:
+        raise ValueError(f"clip_skip={clip_skip} out of range for "
+                         f"{cfg.num_layers}-layer tower")
+    act = ACTIVATIONS[cfg.hidden_act]
+    x = embedding_lookup(params["token_embedding"], input_ids)
+    pos = params["position_embedding"]["embedding"][: input_ids.shape[1]]
+    x = x + pos[None].astype(x.dtype)
+
+    staged = shard_stages(params["layers"], mesh)
+    layer_fn = lambda lyr, h: _encoder_layer(
+        lyr, h, num_heads=cfg.num_heads, act=act, causal=True)
+    x, penultimate = gpipe(layer_fn, staged, x, mesh=mesh, n_micro=n_micro,
+                           capture_before=cfg.num_layers - 1 - skip)
+
+    last = layer_norm(params["final_ln"], x)
+    out = {"penultimate": penultimate, "last_hidden": last}
+    if cfg.use_final_projection:
+        eos_idx = jnp.argmax(input_ids, axis=-1)
+        pooled = jnp.take_along_axis(last, eos_idx[:, None, None], axis=1)[:, 0]
+        out["pooled"] = linear(params["text_projection"], pooled)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # vision tower (ViT-H/14)
 # ---------------------------------------------------------------------------
