@@ -225,3 +225,34 @@ def clip_vision_apply(params, cfg: CLIPVisionConfig, pixel_values):
         "penultimate": penultimate,
         "image_embeds": linear(params["visual_projection"], pooled),
     }
+
+
+def clip_vision_apply_pp(params, cfg: CLIPVisionConfig, pixel_values, *,
+                         mesh, n_micro: int = 2):
+    """Pipeline-parallel clip_vision_apply (parallel/pp.py) — same GPipe
+    split as clip_text_apply_pp; ViT-H's 32 identical non-causal layers
+    are the largest frozen-tower stack in the system. Numerically identical
+    outputs to clip_vision_apply; patch/class/position embedding and the
+    post-LN/projection ends stay replicated."""
+    from idmvton_tpu.parallel.pp import gpipe, shard_stages
+
+    act = ACTIVATIONS[cfg.hidden_act]
+    h = conv2d(params["patch_embedding"], pixel_values,
+               stride=cfg.patch_size, padding="VALID")
+    b, ph, pw, c = h.shape
+    h = h.reshape(b, ph * pw, c)
+    cls = jnp.broadcast_to(params["class_embedding"].astype(h.dtype), (b, 1, c))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["position_embedding"]["embedding"][None, : h.shape[1]].astype(h.dtype)
+    h = layer_norm(params["pre_ln"], h)
+
+    staged = shard_stages(params["layers"], mesh)
+    layer_fn = lambda lyr, x: _encoder_layer(
+        lyr, x, num_heads=cfg.num_heads, act=act, causal=False)
+    h, penultimate = gpipe(layer_fn, staged, h, mesh=mesh, n_micro=n_micro,
+                           capture_before=cfg.num_layers - 1)
+    pooled = layer_norm(params["post_ln"], h[:, 0])
+    return {
+        "penultimate": penultimate,
+        "image_embeds": linear(params["visual_projection"], pooled),
+    }

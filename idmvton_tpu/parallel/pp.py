@@ -32,8 +32,6 @@ pipeline replica and gradient/batch collectives stay on the 'data' axis.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -102,6 +102,24 @@ def test_pp_validation_errors(tower):
         clip_text_apply_pp(params, cfg, ids, mesh=mesh, n_micro=3)
 
 
+def test_pp_vision_tower_matches_sequential():
+    from idmvton_tpu.core.config import CLIPVisionConfig
+    from idmvton_tpu.models.clip import (
+        init_clip_vision, clip_vision_apply, clip_vision_apply_pp,
+    )
+    cfg = CLIPVisionConfig.tiny()  # num_layers=2 -> 2 stages x 1 layer
+    params = init_clip_vision(jax.random.PRNGKey(0), cfg, dtype=DTYPE)
+    px = jax.random.uniform(jax.random.PRNGKey(1),
+                            (8, cfg.image_size, cfg.image_size, 3), DTYPE,
+                            -1, 1)
+    ref = clip_vision_apply(params, cfg, px)
+    mesh = make_mesh(jax.devices(), data=4, model=2)
+    out = clip_vision_apply_pp(params, cfg, px, mesh=mesh, n_micro=2)
+    for k in ("penultimate", "image_embeds"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+
+
 def test_stack_layers_shapes(tower):
     cfg, params, _, _ = tower
     stacked = stack_layers(params["layers"])
