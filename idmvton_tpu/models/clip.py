@@ -99,7 +99,7 @@ def init_clip_text(key, cfg: CLIPTextConfig, dtype=jnp.bfloat16):
 
 
 def clip_text_apply(params, cfg: CLIPTextConfig, input_ids, *,
-                    clip_skip: int = None):
+                    clip_skip: int = None, stack_fn=None):
     """input_ids: (B, 77) int32. Returns dict with:
     - penultimate: hidden_states[-2] (B, 77, hidden) — what SDXL consumes
     - pooled: eos-token pooled projection (B, projection_dim) if configured
@@ -108,6 +108,11 @@ def clip_text_apply(params, cfg: CLIPTextConfig, input_ids, *,
     skipped), matching the reference encode_prompt's clip_skip branch
     (src/tryon_pipeline.py:637-641); None/0 is the default penultimate.
     Pooled output is unaffected (it always comes off the full tower).
+
+    stack_fn: optional override for the encoder-layer stack —
+    stack_fn(x, capture_before) -> (final_hidden, captured_hidden). Used by
+    clip_text_apply_pp so the embedding / final-LN / pooling ends live in
+    exactly one place.
     """
     skip = clip_skip or 0
     if not 0 <= skip < cfg.num_layers:
@@ -117,11 +122,16 @@ def clip_text_apply(params, cfg: CLIPTextConfig, input_ids, *,
     x = embedding_lookup(params["token_embedding"], input_ids)
     pos = params["position_embedding"]["embedding"][: input_ids.shape[1]]
     x = x + pos[None].astype(x.dtype)
-    penultimate = None
-    for i, lyr in enumerate(params["layers"]):
-        if i == cfg.num_layers - 1 - skip:
-            penultimate = x
-        x = _encoder_layer(lyr, x, num_heads=cfg.num_heads, act=act, causal=True)
+    cap_idx = cfg.num_layers - 1 - skip
+    if stack_fn is not None:
+        x, penultimate = stack_fn(x, cap_idx)
+    else:
+        penultimate = None
+        for i, lyr in enumerate(params["layers"]):
+            if i == cap_idx:
+                penultimate = x
+            x = _encoder_layer(lyr, x, num_heads=cfg.num_heads, act=act,
+                               causal=True)
     last = layer_norm(params["final_ln"], x)
     out = {"penultimate": penultimate, "last_hidden": last}
     if cfg.use_final_projection:
@@ -134,7 +144,7 @@ def clip_text_apply(params, cfg: CLIPTextConfig, input_ids, *,
 
 
 def clip_text_apply_pp(params, cfg: CLIPTextConfig, input_ids, *, mesh,
-                       n_micro: int = 2, clip_skip: int = None):
+                       n_micro: int = 2, clip_skip: int = None, staged=None):
     """Pipeline-parallel clip_text_apply: the L identical encoder layers are
     split into mesh-'model'-axis stages and microbatches flow through a
     GPipe schedule (parallel/pp.py). Numerically identical outputs to
@@ -143,34 +153,24 @@ def clip_text_apply_pp(params, cfg: CLIPTextConfig, input_ids, *, mesh,
     stay replicated (they are <1% of tower FLOPs).
 
     Beyond-reference scaling path (the reference runs its towers
-    single-device, src/tryon_pipeline.py:609-645): pp is the right axis
-    for the frozen towers when per-chip HBM is the binding constraint —
-    stages hold 1/S of the weights and the ring hops ride ICI.
+    single-device, src/tryon_pipeline.py:609-645). To actually realize the
+    1/S-weights-per-chip residency, pre-stage ONCE at load time —
+    ``staged = shard_stages(params["layers"], mesh)`` — pass it here and
+    drop the replicated ``params["layers"]``; staging inside every call
+    (the staged=None convenience path) keeps the replicated copy live and
+    re-stacks per forward.
     """
     from idmvton_tpu.parallel.pp import gpipe, shard_stages
 
-    skip = clip_skip or 0
-    if not 0 <= skip < cfg.num_layers:
-        raise ValueError(f"clip_skip={clip_skip} out of range for "
-                         f"{cfg.num_layers}-layer tower")
+    if staged is None:
+        staged = shard_stages(params["layers"], mesh)
     act = ACTIVATIONS[cfg.hidden_act]
-    x = embedding_lookup(params["token_embedding"], input_ids)
-    pos = params["position_embedding"]["embedding"][: input_ids.shape[1]]
-    x = x + pos[None].astype(x.dtype)
-
-    staged = shard_stages(params["layers"], mesh)
     layer_fn = lambda lyr, h: _encoder_layer(
         lyr, h, num_heads=cfg.num_heads, act=act, causal=True)
-    x, penultimate = gpipe(layer_fn, staged, x, mesh=mesh, n_micro=n_micro,
-                           capture_before=cfg.num_layers - 1 - skip)
-
-    last = layer_norm(params["final_ln"], x)
-    out = {"penultimate": penultimate, "last_hidden": last}
-    if cfg.use_final_projection:
-        eos_idx = jnp.argmax(input_ids, axis=-1)
-        pooled = jnp.take_along_axis(last, eos_idx[:, None, None], axis=1)[:, 0]
-        out["pooled"] = linear(params["text_projection"], pooled)
-    return out
+    stack_fn = lambda x, cap: gpipe(layer_fn, staged, x, mesh=mesh,
+                                    n_micro=n_micro, capture_before=cap)
+    return clip_text_apply(params, cfg, input_ids, clip_skip=clip_skip,
+                           stack_fn=stack_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -200,10 +200,14 @@ def init_clip_vision(key, cfg: CLIPVisionConfig, dtype=jnp.bfloat16):
     return p
 
 
-def clip_vision_apply(params, cfg: CLIPVisionConfig, pixel_values):
+def clip_vision_apply(params, cfg: CLIPVisionConfig, pixel_values, *,
+                      stack_fn=None):
     """pixel_values: (B, H, W, 3), CLIP-normalized. Returns dict with:
     - penultimate: hidden_states[-2] (B, 1+P, hidden) — IP-Adapter-plus input
     - image_embeds: projected CLS embedding (B, projection_dim)
+
+    stack_fn: optional layer-stack override (see clip_text_apply) — the
+    clip_vision_apply_pp seam.
     """
     act = ACTIVATIONS[cfg.hidden_act]
     h = conv2d(params["patch_embedding"], pixel_values,
@@ -214,12 +218,15 @@ def clip_vision_apply(params, cfg: CLIPVisionConfig, pixel_values):
     h = jnp.concatenate([cls, h], axis=1)
     h = h + params["position_embedding"]["embedding"][None, : h.shape[1]].astype(h.dtype)
     h = layer_norm(params["pre_ln"], h)
-    penultimate = None
-    for i, lyr in enumerate(params["layers"]):
-        if i == cfg.num_layers - 1:
-            penultimate = h
-        h = _encoder_layer(lyr, h, num_heads=cfg.num_heads, act=act,
-                           causal=False)
+    if stack_fn is not None:
+        h, penultimate = stack_fn(h, cfg.num_layers - 1)
+    else:
+        penultimate = None
+        for i, lyr in enumerate(params["layers"]):
+            if i == cfg.num_layers - 1:
+                penultimate = h
+            h = _encoder_layer(lyr, h, num_heads=cfg.num_heads, act=act,
+                               causal=False)
     pooled = layer_norm(params["post_ln"], h[:, 0])
     return {
         "penultimate": penultimate,
@@ -228,31 +235,20 @@ def clip_vision_apply(params, cfg: CLIPVisionConfig, pixel_values):
 
 
 def clip_vision_apply_pp(params, cfg: CLIPVisionConfig, pixel_values, *,
-                         mesh, n_micro: int = 2):
+                         mesh, n_micro: int = 2, staged=None):
     """Pipeline-parallel clip_vision_apply (parallel/pp.py) — same GPipe
     split as clip_text_apply_pp; ViT-H's 32 identical non-causal layers
     are the largest frozen-tower stack in the system. Numerically identical
     outputs to clip_vision_apply; patch/class/position embedding and the
-    post-LN/projection ends stay replicated."""
+    post-LN/projection ends stay replicated. Pre-stage once at load time
+    (pass ``staged``) to hold only 1/S of the layer weights per chip."""
     from idmvton_tpu.parallel.pp import gpipe, shard_stages
 
+    if staged is None:
+        staged = shard_stages(params["layers"], mesh)
     act = ACTIVATIONS[cfg.hidden_act]
-    h = conv2d(params["patch_embedding"], pixel_values,
-               stride=cfg.patch_size, padding="VALID")
-    b, ph, pw, c = h.shape
-    h = h.reshape(b, ph * pw, c)
-    cls = jnp.broadcast_to(params["class_embedding"].astype(h.dtype), (b, 1, c))
-    h = jnp.concatenate([cls, h], axis=1)
-    h = h + params["position_embedding"]["embedding"][None, : h.shape[1]].astype(h.dtype)
-    h = layer_norm(params["pre_ln"], h)
-
-    staged = shard_stages(params["layers"], mesh)
     layer_fn = lambda lyr, x: _encoder_layer(
         lyr, x, num_heads=cfg.num_heads, act=act, causal=False)
-    h, penultimate = gpipe(layer_fn, staged, h, mesh=mesh, n_micro=n_micro,
-                           capture_before=cfg.num_layers - 1)
-    pooled = layer_norm(params["post_ln"], h[:, 0])
-    return {
-        "penultimate": penultimate,
-        "image_embeds": linear(params["visual_projection"], pooled),
-    }
+    stack_fn = lambda x, cap: gpipe(layer_fn, staged, x, mesh=mesh,
+                                    n_micro=n_micro, capture_before=cap)
+    return clip_vision_apply(params, cfg, pixel_values, stack_fn=stack_fn)

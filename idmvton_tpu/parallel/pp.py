@@ -105,14 +105,17 @@ def gpipe(layer_fn, staged, x, *, mesh, n_micro: int, capture_before=None):
                     cap = jnp.where(gidx == capture_before, h, cap)
                 return (layer_fn(lyr, h), cap), None
             (h, cap), _ = lax.scan(
-                body, (h, jnp.zeros_like(h)),
+                body, (h, jnp.zeros_like(h) if capture_before is not None
+                       else jnp.zeros((), h.dtype)),
                 (jnp.arange(per), stage_layers))
             return h, cap
 
         n_ticks = n_micro + n_stages - 1
         act0 = jnp.zeros_like(xm[0])
         outs0 = jnp.zeros((n_micro,) + act0.shape, act0.dtype)
-        caps0 = outs0
+        # caps buffer only exists when a capture seam was requested — it
+        # would otherwise be dead weight carried through the whole scan
+        caps0 = outs0 if capture_before is not None else None
         ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         def tick(carry, t):
@@ -139,13 +142,20 @@ def gpipe(layer_fn, staged, x, *, mesh, n_micro: int, capture_before=None):
 
         (_, outs, caps), _ = lax.scan(
             tick, (act0, outs0, caps0), jnp.arange(n_ticks))
-        # leading singleton stage axis so out_specs can stack over 'model'
+        # Leading singleton stage axis so out_specs can stack over 'model'.
+        # The stacked (S, ...) output stays physically SHARDED over the
+        # model axis (each device holds only its own row); collect() below
+        # gathers just the owning stage's row.
+        if capture_before is None:
+            return outs[None], jnp.zeros((1,), outs.dtype)
         return outs[None], caps[None]
 
+    buf_spec = P(MODEL_AXIS, None, DATA_AXIS)
     outs, caps = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(DATA_AXIS)),
-        out_specs=P(MODEL_AXIS, None, DATA_AXIS),
+        out_specs=(buf_spec,
+                   buf_spec if capture_before is not None else P(MODEL_AXIS)),
         check_vma=False,
     )(staged, x)
 

@@ -95,11 +95,25 @@ def test_gpipe_capture_on_stage_boundary(tower):
 def test_pp_validation_errors(tower):
     cfg, params, ids, _ = tower
     mesh = make_mesh(jax.devices(), data=2, model=4)
-    with pytest.raises(ValueError):  # 8 layers not divisible into 3 stages
+    with pytest.raises(ValueError):  # 6 layers not divisible into 4 stages
         shard_stages(params["layers"][:6], make_mesh(jax.devices()[:4],
                                                      data=1, model=4))
     with pytest.raises(ValueError):  # batch 8 % (data2 x micro3) != 0
         clip_text_apply_pp(params, cfg, ids, mesh=mesh, n_micro=3)
+
+
+def test_pp_prestaged_params_reused(tower):
+    """Production path: stage the layer stack ONCE at load time and pass it
+    to every forward (the replicated params['layers'] can then be dropped —
+    1/S weight residency per chip)."""
+    cfg, params, ids, ref = tower
+    mesh = make_mesh(jax.devices(), data=2, model=4)
+    staged = shard_stages(params["layers"], mesh)
+    headless = {k: v for k, v in params.items() if k != "layers"}
+    for _ in range(2):
+        out = clip_text_apply_pp(headless, cfg, ids, mesh=mesh, n_micro=2,
+                                 staged=staged)
+        _assert_matches(out, ref)
 
 
 def test_pp_vision_tower_matches_sequential():
