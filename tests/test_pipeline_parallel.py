@@ -92,6 +92,39 @@ def test_gpipe_capture_on_stage_boundary(tower):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_pp_bf16_schedule_is_noise_free():
+    """Production tower dtype. The honest bf16 oracle must share BOTH the
+    microbatch slicing and the scan-over-stacked-layers compute structure
+    (bf16 rounding is fusion-dependent: an unrolled Python loop or a
+    full-batch forward rounds differently and drifts to ~0.1 after 8
+    norm-amplified layers). Against that oracle the GPipe schedule —
+    ppermute hops, masked writes, bubble compute — must be (and is)
+    BIT-EXACT: pipelining adds zero numeric noise of its own."""
+    cfg = CLIPTextConfig.tiny(num_layers=8)
+    params = init_clip_text(jax.random.PRNGKey(4), cfg, dtype=jnp.bfloat16)
+    act = ACTIVATIONS[cfg.hidden_act]
+    layer_fn = lambda lyr, h: _encoder_layer(
+        lyr, h, num_heads=cfg.num_heads, act=act, causal=True)
+    x = jax.random.normal(jax.random.PRNGKey(5),
+                          (8, 12, cfg.hidden_size), jnp.bfloat16)
+
+    mesh = make_mesh(jax.devices(), data=2, model=4)
+    staged = shard_stages(params["layers"], mesh)
+    y = gpipe(layer_fn, staged, x, mesh=mesh, n_micro=2)
+
+    stacked = stack_layers(params["layers"])
+
+    def seq_scan(h):
+        def body(h, lyr):
+            return layer_fn(lyr, h), None
+        return jax.lax.scan(body, h, stacked)[0]
+
+    # bm=2: batch 8 / (data 2 x micro 2) — same slices the schedule uses
+    ref = jnp.concatenate([seq_scan(x[i:i + 2]) for i in range(0, 8, 2)], 0)
+    np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
 def test_gpipe_is_differentiable(tower):
     """jax.grad flows through the GPipe schedule (shard_map + ppermute +
     scan): param grads match the sequential loop's grads — pp is usable for
