@@ -230,8 +230,10 @@ def _watchdog():
     if _emit(partial=True):
         os._exit(0)
     log("WATCHDOG(thread): denoise not yet measured — no honest partial "
-        "number. Likely cause: server-side compile-queue backlog (compiles "
-        "queue even after killed clients; see CLAUDE.md).")
+        "number. Likely causes: still in phase 'startup' = axon device "
+        "init/claim hung (relay outage — r5 saw one >2h); otherwise "
+        "server-side compile-queue backlog (compiles queue even after "
+        "killed clients; see CLAUDE.md).")
     os._exit(3)
 
 
@@ -255,6 +257,18 @@ def sync(tree):
 
 
 def main():
+    # Watchdogs FIRST — before ANY jax device use. The first device op is
+    # not in phase code: DDPMScheduler.__init__ builds jnp tables, and
+    # backend init itself can hang forever when the axon relay is down
+    # (r5 outage: jax.devices() blocked indefinitely at claim time). With
+    # the spawn here, an outage still produces a diagnosis + rc 3 at the
+    # budget deadline instead of the driver's silent rc=124.
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    _journal()
+    threading.Thread(target=_watchdog, daemon=True).start()
+    wd = _spawn_watchdog()
+
     from idmvton_tpu.core.config import (
         SchedulerConfig, UNetConfig, VAEConfig, CLIPTextConfig,
         CLIPVisionConfig, ResamplerConfig,
@@ -293,11 +307,7 @@ def main():
     STATE["metric"] = (f"tryon_images_per_sec_per_chip_{img_w}x{img_h}_"
                        f"{STEPS}steps_cfg2_b{b}"
                        + ("_garmcache" if GARMENT_CACHE == "once" else ""))
-    signal.signal(signal.SIGTERM, _on_term)
-    signal.signal(signal.SIGINT, _on_term)
-    _journal()
-    threading.Thread(target=_watchdog, daemon=True).start()
-    wd = _spawn_watchdog()
+    _journal()  # metric/batch now known — refresh for the watchdog
 
     # NO dedicated preflight compile: it is purely diagnostic and costs one
     # extra SERIAL compile-queue job — measured 2.5 s on a clean queue but
