@@ -157,6 +157,15 @@ def test_gpipe_is_differentiable(tower):
         g_pp, g_seq)
 
 
+def test_pp_single_stage_degenerates_to_sequential(tower):
+    """model=1 mesh: the ring is a self-loop and the schedule reduces to
+    microbatched sequential execution — still exact."""
+    cfg, params, ids, ref = tower
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    out = clip_text_apply_pp(params, cfg, ids, mesh=mesh, n_micro=1)
+    _assert_matches(out, ref)
+
+
 def test_pp_validation_errors(tower):
     cfg, params, ids, _ = tower
     mesh = make_mesh(jax.devices(), data=2, model=4)
